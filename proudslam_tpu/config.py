@@ -1,0 +1,262 @@
+"""Configuration system.
+
+YAML configs with recursive ``base_config`` inheritance and programmatic
+overrides, mirroring the reference semantics (`demo/parser.py:9-56` of the
+reference: leaf config values recursively merged over the base config, then
+exposed for CLI override).
+
+On top of the free-form dict config we derive frozen, hashable settings
+structs that are passed as *static* arguments to jitted functions — every
+capacity / shape knob lives here so compiled programs have fully static
+shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional
+
+import yaml
+
+
+def _update_recursive(dst: Dict[str, Any], src: Dict[str, Any]) -> None:
+    """Merge ``src`` into ``dst``, recursing into nested dicts.
+
+    Mirrors `demo/parser.py:48-56` (reference).
+    """
+    for key, value in src.items():
+        if key not in dst:
+            dst[key] = {}
+        if isinstance(value, dict) and isinstance(dst.get(key), dict):
+            _update_recursive(dst[key], value)
+        else:
+            dst[key] = value
+
+
+def load_yaml_with_bases(path: str) -> Dict[str, Any]:
+    """Load a YAML file, recursively resolving ``base_config`` references.
+
+    Mirrors `demo/parser.py:23-37` (reference): the leaf file's values win
+    over its base's; ``base_config`` may chain arbitrarily deep. Relative
+    base paths are resolved against the current working directory first
+    (reference behavior) and then against the directory of the referring
+    file.
+    """
+    with open(path, "r") as f:
+        raw = yaml.safe_load(f) or {}
+    base_path = raw.pop("base_config", None)
+    if base_path is None:
+        return raw
+    if not os.path.exists(base_path):
+        candidate = os.path.join(os.path.dirname(path), base_path)
+        if os.path.exists(candidate):
+            base_path = candidate
+    merged = load_yaml_with_bases(base_path)
+    _update_recursive(merged, raw)
+    return merged
+
+
+class Config:
+    """Attribute/dict hybrid view over a nested config mapping."""
+
+    def __init__(self, data: Optional[Dict[str, Any]] = None):
+        self._data: Dict[str, Any] = dict(data or {})
+
+    def __getattr__(self, name: str) -> Any:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            value = self._data[name]
+        except KeyError as e:
+            raise AttributeError(f"config has no key {name!r}") from e
+        return value
+
+    def __getitem__(self, name: str) -> Any:
+        return self._data[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._data
+
+    def get(self, name: str, default: Any = None) -> Any:
+        return self._data.get(name, default)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dict(self._data)
+
+    def override(self, dotted_key: str, value: Any) -> None:
+        """Set ``a.b.c`` style keys, creating intermediate dicts."""
+        parts = dotted_key.split(".")
+        node = self._data
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    def __repr__(self) -> str:
+        return f"Config({self._data!r})"
+
+
+def load_config(path: str, overrides: Optional[Dict[str, Any]] = None) -> Config:
+    cfg = Config(load_yaml_with_bases(path))
+    for key, value in (overrides or {}).items():
+        cfg.override(key, value)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Frozen settings structs (static args for jit)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Static shapes + scalars of the differentiable renderer.
+
+    The reference pads ray-hit topology to data-dependent maxima
+    (`voxel_helpers.py:582-585,359-362`); on TPU everything is padded to the
+    static capacities below and masked.
+    """
+
+    voxel_size: float = 0.2
+    # step size in meters (reference: cfg step_size * voxel_size,
+    # `mapping.py:59-60`, `tracking.py:34-38`)
+    step_size: float = 0.02
+    truncation: float = 0.1          # criteria.sdf_truncation
+    max_distance: float = 10.0       # data_specs.max_depth
+    max_hits: int = 24               # static cap on ray/voxel intersections
+    max_samples: int = 96            # static cap on samples per ray
+    # sentinel depth for invalid samples (reference MAX_DEPTH,
+    # voxel_helpers.py)
+    max_depth_sentinel: float = 10000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MapSettings:
+    """Static capacities of the sparse voxel map."""
+
+    voxel_size: float = 0.2
+    num_embeddings: int = 20000      # vertex embedding rows (mapper_specs)
+    embed_dim: int = 16              # decoder_specs.in_dim
+    voxel_capacity: int = 20000      # max SURFACE voxels
+    frame_voxel_capacity: int = 8192  # max unique new voxels per insertion
+    # integer coordinate packing: coords biased by +2^(bits-1), bits per axis
+    coord_bits: int = 10
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderSettings:
+    """SDF+color MLP architecture (reference `nrgbd.py:80-135`)."""
+
+    depth: int = 2
+    width: int = 128
+    in_dim: int = 16
+    sdf_dim: int = 128
+    skips: tuple = ()
+    embedder: str = "none"
+    multires: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerSettings:
+    n_rays: int = 1024
+    num_iterations: int = 30
+    learning_rate: float = 0.01
+    depth_variance: bool = True      # tracking.py:146 (weight_depth_loss)
+
+
+@dataclasses.dataclass(frozen=True)
+class MapperSettings:
+    n_rays_each: int = 1024
+    window_size: int = 4
+    num_iterations: int = 10
+    keyframe_gap: int = 50           # mapping.py:136 (stamp gap rule)
+    max_keyframes: int = 256
+    embed_lr: float = 5e-3           # mapping.py:81
+    decoder_lr: float = 5e-3         # mapping.py:82
+    pose_lr: float = 1e-3            # frame.py:27
+    init_iterations: int = 30        # first-frame map warmup steps
+
+
+@dataclasses.dataclass(frozen=True)
+class LossSettings:
+    rgb_weight: float = 0.5
+    depth_weight: float = 1.0
+    sdf_weight: float = 5000.0
+    fs_weight: float = 10.0
+    truncation: float = 0.1
+    max_depth: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class SystemSettings:
+    """Bundle of every static settings struct — one hashable static arg."""
+
+    render: RenderSettings = RenderSettings()
+    map: MapSettings = MapSettings()
+    decoder: DecoderSettings = DecoderSettings()
+    tracker: TrackerSettings = TrackerSettings()
+    mapper: MapperSettings = MapperSettings()
+    loss: LossSettings = LossSettings()
+
+
+def settings_from_config(cfg: Config) -> SystemSettings:
+    """Build the static settings bundle from a YAML config."""
+    crit = cfg.get("criteria", {})
+    dec = cfg.get("decoder_specs", {})
+    trk = cfg.get("tracker_specs", {})
+    mpr = cfg.get("mapper_specs", {})
+    data = cfg.get("data_specs", {})
+    tpu = cfg.get("tpu_specs", {})  # proudslam_tpu additions
+
+    voxel_size = mpr.get("voxel_size", 0.2)
+    max_depth = data.get("max_depth", 10.0)
+    render = RenderSettings(
+        voxel_size=voxel_size,
+        step_size=mpr.get("step_size", 0.1) * voxel_size,
+        truncation=crit.get("sdf_truncation", 0.1),
+        max_distance=max_depth,
+        max_hits=tpu.get("max_hits", 24),
+        max_samples=tpu.get("max_samples", 96),
+    )
+    map_settings = MapSettings(
+        voxel_size=voxel_size,
+        num_embeddings=mpr.get("num_embeddings", 20000),
+        embed_dim=dec.get("in_dim", 16),
+        voxel_capacity=tpu.get("voxel_capacity", 20000),
+        frame_voxel_capacity=tpu.get("frame_voxel_capacity", 8192),
+    )
+    decoder = DecoderSettings(
+        depth=dec.get("depth", 2),
+        width=dec.get("width", 128),
+        in_dim=dec.get("in_dim", 16),
+        sdf_dim=dec.get("sdf_dim", 128),
+        skips=tuple(dec.get("skips", ()) or ()),
+        embedder=dec.get("embedder", "none"),
+        multires=dec.get("multires", 0),
+    )
+    tracker = TrackerSettings(
+        n_rays=trk.get("N_rays", 1024),
+        num_iterations=trk.get("num_iterations", 30),
+        learning_rate=trk.get("learning_rate", 0.01),
+        depth_variance=bool(trk.get("depth_variance", True)),
+    )
+    mapper = MapperSettings(
+        n_rays_each=mpr.get("N_rays_each", 1024),
+        window_size=mpr.get("window_size", 4),
+        num_iterations=mpr.get("num_iterations", 10),
+        keyframe_gap=mpr.get("keyframe_gap", 50),
+        max_keyframes=tpu.get("max_keyframes", 256),
+        init_iterations=tpu.get("init_iterations", 30),
+    )
+    loss = LossSettings(
+        rgb_weight=crit.get("rgb_weight", 0.5),
+        depth_weight=crit.get("depth_weight", 1.0),
+        sdf_weight=crit.get("sdf_weight", 5000.0),
+        fs_weight=crit.get("fs_weight", 10.0),
+        truncation=crit.get("sdf_truncation", 0.1),
+        max_depth=max_depth,
+    )
+    return SystemSettings(
+        render=render, map=map_settings, decoder=decoder,
+        tracker=tracker, mapper=mapper, loss=loss,
+    )

@@ -1,0 +1,112 @@
+"""Ray–voxel intersection: TPU-native replacement for the CUDA octree DFS.
+
+The reference traverses a flattened octree per ray with a stack-based DFS
+(`sparse_voxels/src/intersect_gpu.cu:191-270`), then sorts hits by entry
+depth and truncates (`voxel_helpers.py:557-595`). A divergent DFS is a poor
+fit for the VPU; with a capacity-bounded voxel set (~20k) a *tiled
+brute-force slab test* is bandwidth-trivial and fully vectorized: we scan
+voxel-center chunks with `lax.scan`, keeping a per-ray running top-K of hits
+ordered by entry depth. Semantics match the reference post-processing:
+
+* slab entry depth clamped to >= 0 (`intersect_gpu.cu:82`, ``f_low = 0``);
+* hits with entry depth > max_distance dropped (`voxel_helpers.py:578`);
+* output sorted ascending by entry depth, idx == -1 for empty slots.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from proudslam_tpu.config import RenderSettings
+
+
+class Intersections(NamedTuple):
+    """Per-ray sorted voxel hits (all (R, H))."""
+
+    t_near: jnp.ndarray   # entry depth (max_distance where invalid)
+    t_far: jnp.ndarray    # exit depth  (max_distance where invalid)
+    voxel_idx: jnp.ndarray  # voxel slot, -1 where invalid
+    # (R,) bool — ray hit at least one voxel
+    hit_mask: jnp.ndarray
+
+
+def ray_box_slab(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                 centers: jnp.ndarray, half: float):
+    """Vectorized slab test: rays (R, 3) x boxes (V, 3) -> (R, V) tnear/tfar/hit.
+
+    Matches `RayAABBIntersection` (`intersect_gpu.cu:75-140`): entry clamped
+    to 0, miss encoded by ``hit == False``.
+    """
+    inv_d = 1.0 / rays_d                                  # (R, 3); inf ok
+    lo = (centers[None, :, :] - half - rays_o[:, None, :]) * inv_d[:, None, :]
+    hi = (centers[None, :, :] + half - rays_o[:, None, :]) * inv_d[:, None, :]
+    t1 = jnp.minimum(lo, hi)
+    t2 = jnp.maximum(lo, hi)
+    t_near = jnp.maximum(jnp.max(t1, axis=-1), 0.0)       # f_low starts at 0
+    t_far = jnp.min(t2, axis=-1)
+    hit = t_near <= t_far
+    return t_near, t_far, hit
+
+
+def ray_intersect(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                  centers: jnp.ndarray, voxel_valid: jnp.ndarray,
+                  settings: RenderSettings,
+                  chunk: int = 4096) -> Intersections:
+    """Intersect rays with all valid voxels; top-``max_hits`` by entry depth.
+
+    Args:
+      rays_o, rays_d: (R, 3) world-space rays (directions unnormalized).
+      centers: (V, 3) voxel centers (padded slots allowed).
+      voxel_valid: (V,) bool — live voxel slots.
+    """
+    R = rays_o.shape[0]
+    V = centers.shape[0]
+    H = settings.max_hits
+    half = settings.voxel_size * 0.5
+    BIG = jnp.float32(settings.max_depth_sentinel)
+
+    num_chunks = -(-V // chunk)
+    pad = num_chunks * chunk - V
+    centers_p = jnp.pad(centers, ((0, pad), (0, 0)))
+    valid_p = jnp.pad(voxel_valid, (0, pad))
+    centers_c = centers_p.reshape(num_chunks, chunk, 3)
+    valid_c = valid_p.reshape(num_chunks, chunk)
+    base_idx = (jnp.arange(num_chunks, dtype=jnp.int32) * chunk)
+
+    init = (
+        jnp.full((R, H), BIG, dtype=jnp.float32),   # best t_near
+        jnp.full((R, H), BIG, dtype=jnp.float32),   # best t_far
+        jnp.full((R, H), -1, dtype=jnp.int32),      # best idx
+    )
+
+    def scan_body(carry, inputs):
+        best_tn, best_tf, best_idx = carry
+        c_centers, c_valid, c_base = inputs
+        tn, tf, hit = ray_box_slab(rays_o, rays_d, c_centers, half)
+        hit = hit & c_valid[None, :] & (tn <= settings.max_distance)
+        tn = jnp.where(hit, tn, BIG)
+        tf = jnp.where(hit, tf, BIG)
+        idx = jnp.where(
+            hit, c_base + jnp.arange(chunk, dtype=jnp.int32)[None, :], -1)
+        # merge with running best-H (smallest t_near)
+        cand_tn = jnp.concatenate([best_tn, tn], axis=1)
+        cand_tf = jnp.concatenate([best_tf, tf], axis=1)
+        cand_idx = jnp.concatenate([best_idx, idx], axis=1)
+        neg_top, top_pos = jax.lax.top_k(-cand_tn, H)
+        best_tn = -neg_top
+        best_tf = jnp.take_along_axis(cand_tf, top_pos, axis=1)
+        best_idx = jnp.take_along_axis(cand_idx, top_pos, axis=1)
+        return (best_tn, best_tf, best_idx), None
+
+    (t_near, t_far, voxel_idx), _ = jax.lax.scan(
+        scan_body, init, (centers_c, valid_c, base_idx))
+
+    invalid = voxel_idx < 0
+    t_near = jnp.where(invalid, settings.max_distance, t_near)
+    t_far = jnp.where(invalid, settings.max_distance, t_far)
+    hit_mask = jnp.any(~invalid, axis=-1)
+    return Intersections(t_near=t_near, t_far=t_far, voxel_idx=voxel_idx,
+                         hit_mask=hit_mask)

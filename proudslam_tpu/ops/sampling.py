@@ -1,0 +1,135 @@
+"""Ray sampling: stratified samples inside intersected voxel segments,
+plus the Gumbel top-k pixel sampler.
+
+Replaces the reference's inverse-CDF CUDA kernel
+(`sparse_voxels/src/sample_gpu.cu:133-239` via `voxel_helpers.py:288-374,
+637-663`) with a vectorized event-merge formulation. The CUDA kernel walks
+each ray's sorted voxel segments, drawing samples uniformly in *CDF space*
+(segment probability proportional to length -> uniform in accumulated
+arc-length), emitting an extra sample at every segment boundary, and
+reporting midpoint depths + inter-sample distances. Equivalently:
+
+  events = sort( {(k + u_k) * step_size}  union  {cumulative segment ends} )
+
+mapped back from arc length to depth; each event's depth output is the
+midpoint between its position and the previous event's position (reset to
+the segment start when crossing into a new segment), with distance = the
+gap. That's exactly what we compute below with static shapes and masks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from proudslam_tpu.config import RenderSettings
+from proudslam_tpu.ops.intersect import Intersections
+
+
+class RaySamples(NamedTuple):
+    """(R, S) per-sample arrays; invalid samples: idx == -1."""
+
+    depth: jnp.ndarray      # midpoint depth (sentinel where invalid)
+    dist: jnp.ndarray       # distance to previous sample (0 where invalid)
+    voxel_idx: jnp.ndarray  # voxel slot (-1 where invalid)
+
+
+def sample_rays_in_segments(inter: Intersections, settings: RenderSettings,
+                            noise: jnp.ndarray) -> RaySamples:
+    """Stratified sampling along intersected segments.
+
+    Args:
+      inter: sorted per-ray intersections, (R, H) arrays.
+      noise: (R, S_jitter) uniforms in (0, 1) — jitter per stratified step
+        (reference clamps to [0.001, 0.999], `voxel_helpers.py:328`);
+        S_jitter == settings.max_samples - settings.max_hits.
+
+    Returns:
+      RaySamples with S == settings.max_samples entries per ray, sorted by
+      depth, invalid entries trailing.
+    """
+    H = settings.max_hits
+    S = settings.max_samples
+    SJ = S - H
+    assert noise.shape[-1] == SJ, (noise.shape, SJ)
+    step = settings.step_size
+    sentinel = settings.max_depth_sentinel
+
+    valid_bin = inter.voxel_idx >= 0
+    seg_len = jnp.where(valid_bin,
+                        jnp.maximum(inter.t_far - inter.t_near, 0.0), 0.0)
+    cum = jnp.cumsum(seg_len, axis=-1)            # (R, H) segment end arcs
+    cum_lo = cum - seg_len
+    total = cum[:, -1:]                           # (R, 1)
+
+    # jittered events at arc positions (k + u) * step
+    k = jnp.arange(SJ, dtype=jnp.float32)[None, :]
+    jitter_arc = (k + jnp.clip(noise, 0.001, 0.999)) * step      # (R, SJ)
+    jitter_valid = jitter_arc < total
+    jitter_arc = jnp.where(jitter_valid, jitter_arc, jnp.inf)
+
+    # boundary events at segment ends (`sample_gpu.cu:185-199` emits a sample
+    # whenever the CDF crosses a bin end)
+    bound_valid = valid_bin & (seg_len > 0)
+    bound_arc = jnp.where(bound_valid, cum, jnp.inf)             # (R, H)
+
+    arcs = jnp.concatenate([jitter_arc, bound_arc], axis=-1)     # (R, S)
+    order = jnp.argsort(arcs, axis=-1)
+    arcs = jnp.take_along_axis(arcs, order, axis=-1)
+    event_valid = jnp.isfinite(arcs)
+
+    # map arc -> (bin, depth). side='left' puts a boundary event (arc ==
+    # cum[j]) into bin j; jittered events fall strictly inside their bin.
+    bins = jax.vmap(
+        lambda c, a: jnp.searchsorted(c, a, side="left"))(cum, arcs)
+    bins = jnp.clip(bins, 0, H - 1)
+    bin_tnear = jnp.take_along_axis(inter.t_near, bins, axis=-1)
+    bin_lo = jnp.take_along_axis(cum_lo, bins, axis=-1)
+    bin_idx = jnp.take_along_axis(inter.voxel_idx, bins, axis=-1)
+
+    safe_arcs = jnp.where(event_valid, arcs, 0.0)
+    z = bin_tnear + (safe_arcs - bin_lo)
+
+    # previous event's z, reset to segment start when the bin changes
+    z_prev = jnp.concatenate([z[:, :1], z[:, :-1]], axis=-1)
+    prev_bins = jnp.concatenate([bins[:, :1] - 1, bins[:, :-1]], axis=-1)
+    new_bin = prev_bins != bins
+    z_low = jnp.where(new_bin, bin_tnear, z_prev)
+
+    depth = 0.5 * (z + z_low)
+    dist = jnp.maximum(z - z_low, 0.0)   # clamp(min=0), voxel_helpers.py:654
+
+    valid = event_valid & (bin_idx >= 0)
+    return RaySamples(
+        depth=jnp.where(valid, depth, sentinel),
+        dist=jnp.where(valid, dist, 0.0),
+        voxel_idx=jnp.where(valid, bin_idx, -1),
+    )
+
+
+def gumbel_sample_pixels(key: jax.Array, logp: jnp.ndarray, num: int) -> jnp.ndarray:
+    """Top-k Gumbel sampling without replacement (reference `sample_util.py:4-20`).
+
+    Args:
+      logp: (N,) log-probabilities (uniform over valid pixels in practice).
+    Returns:
+      (num,) int32 flat pixel indices.
+    """
+    u = jax.random.uniform(key, logp.shape)
+    gumbel = -jnp.log(-jnp.log(u + 1e-7) + 1e-7)
+    _, idx = jax.lax.top_k(logp + gumbel, num)
+    return idx.astype(jnp.int32)
+
+
+def sample_frame_pixels(key: jax.Array, valid_mask: jnp.ndarray, num: int) -> jnp.ndarray:
+    """Sample ``num`` distinct pixel indices from an (H, W) validity mask.
+
+    Reference samples from a uniform mask over all pixels
+    (`frame.py:82-85` passes ones_like(depth)); we keep the mask argument so
+    invalid (zero-depth) pixels can be excluded when desired.
+    """
+    flat = valid_mask.reshape(-1).astype(jnp.float32)
+    probs = flat / (flat.sum() + 1e-7)
+    return gumbel_sample_pixels(key, jnp.log(probs + 1e-7), num)

@@ -1,0 +1,247 @@
+"""Flat sparse voxel map: TPU-native replacement for the C++ sparse octree.
+
+The reference maintains a Morton-coded pointer octree (`sparse_octree/src/
+octree.cpp:104-294`) whose only live jobs are (a) dedup/allocate voxels from
+depth point clouds, (b) assign stable vertex-embedding indices to voxel
+corners shared between adjacent voxels, and (c) provide a structure for ray
+DFS traversal. All three map better onto static-shape device arrays:
+
+* **cell table** — append-only map from integer grid coordinate to a stable
+  *embedding id* (== row in the vertex embedding table). This plays the role
+  of the reference's global octant index (`octree.cpp:561-687`,
+  ``all_features``): corner i of voxel v gets the id of the cell at
+  ``v + corner_offset[i]``. Cells are kept as parallel sorted arrays so
+  membership tests are a ``searchsorted`` (O(log C) gather) instead of
+  pointer chasing.
+* **voxel table** — append-only slots for SURFACE voxels (voxels actually
+  containing depth points, reference `octree.cpp:175`), with precomputed
+  per-voxel 8 corner embedding ids.
+* ray traversal needs no hierarchy: intersection is brute-force/tiled AABB
+  over voxel centers (see `ops/intersect.py`), which on TPU is
+  vector-unit-friendly and avoids divergent DFS.
+
+Everything is capacity-bounded and jittable: insertion of a frame's point
+cloud is a single jitted call of sort/unique/searchsorted/scatter ops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from proudslam_tpu.config import MapSettings
+
+# packed-key sentinel: larger than any valid packed coordinate
+SENTINEL = jnp.int32(2**31 - 1)
+
+# corner offset tables, identical ordering to the reference
+# (incr_x/y/z, `octree.cpp:11-13`): z fastest, then y, then x.
+CORNER_OFFSETS = jnp.array(
+    [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+     [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], dtype=jnp.int32)
+
+
+class MapState(NamedTuple):
+    """Capacity-bounded sparse voxel map (a pytree of device arrays)."""
+
+    # --- cell table (sorted by packed key; SENTINEL-padded) ---
+    cell_keys: jnp.ndarray    # (C,) int32 packed coords, ascending
+    cell_ids: jnp.ndarray     # (C,) int32 embedding row for each key
+    cell_vslot: jnp.ndarray   # (C,) int32 voxel slot if SURFACE else -1
+    num_cells: jnp.ndarray    # () int32
+
+    # --- voxel table (allocation order; stable slots) ---
+    voxel_keys: jnp.ndarray        # (V,) int32 packed coords, SENTINEL pad
+    voxel_vertex_ids: jnp.ndarray  # (V, 8) int32 embedding ids (0 pad)
+    num_voxels: jnp.ndarray        # () int32
+
+    # --- vertex embeddings (optimized by the mapper) ---
+    embeddings: jnp.ndarray   # (E, D) float32
+
+
+def init_map_state(settings: MapSettings, key: jax.Array) -> MapState:
+    """Fresh empty map. Embeddings ~ N(0, 0.01) (reference `mapping.py:71-80`)."""
+    C = settings.num_embeddings
+    V = settings.voxel_capacity
+    emb = 0.01 * jax.random.normal(
+        key, (settings.num_embeddings, settings.embed_dim), dtype=jnp.float32)
+    return MapState(
+        cell_keys=jnp.full((C,), SENTINEL, dtype=jnp.int32),
+        cell_ids=jnp.zeros((C,), dtype=jnp.int32),
+        cell_vslot=jnp.full((C,), -1, dtype=jnp.int32),
+        num_cells=jnp.zeros((), dtype=jnp.int32),
+        voxel_keys=jnp.full((V,), SENTINEL, dtype=jnp.int32),
+        voxel_vertex_ids=jnp.zeros((V, 8), dtype=jnp.int32),
+        num_voxels=jnp.zeros((), dtype=jnp.int32),
+        embeddings=emb,
+    )
+
+
+# ---------------------------------------------------------------------------
+# coordinate packing
+# ---------------------------------------------------------------------------
+
+
+def pack_coords(coords: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
+    """Pack (..., 3) int32 grid coords into sortable int32 keys.
+
+    Coordinates are biased by +2^(bits-1) so moderately negative coords are
+    representable; out-of-range coords map to SENTINEL (invalid). The
+    reference instead shifts all poses by +10 m (`frame.py:24`) to force
+    positivity on a [0, 256)^3 grid — we support that range and more.
+    """
+    bias = 1 << (bits - 1)
+    limit = (1 << bits) - 1
+    b = coords + bias
+    in_range = jnp.all((b >= 0) & (b <= limit), axis=-1)
+    key = (b[..., 0] << (2 * bits)) | (b[..., 1] << bits) | b[..., 2]
+    return jnp.where(in_range, key.astype(jnp.int32), SENTINEL)
+
+
+def unpack_key(keys: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
+    """Inverse of :func:`pack_coords` -> (..., 3) int32 (SENTINEL -> garbage)."""
+    bias = 1 << (bits - 1)
+    mask = (1 << bits) - 1
+    x = (keys >> (2 * bits)) & mask
+    y = (keys >> bits) & mask
+    z = keys & mask
+    return jnp.stack([x, y, z], axis=-1).astype(jnp.int32) - bias
+
+
+# ---------------------------------------------------------------------------
+# lookups
+# ---------------------------------------------------------------------------
+
+
+def lookup_cells(state: MapState, query_keys: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Return (found, embedding_id) for packed keys of any shape."""
+    flat = query_keys.reshape(-1)
+    pos = jnp.searchsorted(state.cell_keys, flat)
+    pos = jnp.clip(pos, 0, state.cell_keys.shape[0] - 1)
+    found = state.cell_keys[pos] == flat
+    found &= flat != SENTINEL
+    ids = jnp.where(found, state.cell_ids[pos], -1)
+    return found.reshape(query_keys.shape), ids.reshape(query_keys.shape)
+
+
+def lookup_voxel_slots(state: MapState, query_keys: jnp.ndarray) -> jnp.ndarray:
+    """Voxel slot for each packed key, or -1 if not a SURFACE voxel."""
+    flat = query_keys.reshape(-1)
+    pos = jnp.searchsorted(state.cell_keys, flat)
+    pos = jnp.clip(pos, 0, state.cell_keys.shape[0] - 1)
+    found = (state.cell_keys[pos] == flat) & (flat != SENTINEL)
+    slots = jnp.where(found, state.cell_vslot[pos], -1)
+    return slots.reshape(query_keys.shape)
+
+
+def voxel_centers(state: MapState, settings: MapSettings) -> jnp.ndarray:
+    """(V, 3) float world-space voxel centers: (coord + 0.5) * voxel_size.
+
+    Mirrors `mapping.py:328` (reference): centres = (xyz + side/2)*voxel_size
+    with side == 1 for leaves. Padding slots give garbage coords — mask with
+    ``jnp.arange(V) < state.num_voxels``.
+    """
+    coords = unpack_key(state.voxel_keys)
+    return (coords.astype(jnp.float32) + 0.5) * settings.voxel_size
+
+
+def voxel_valid_mask(state: MapState) -> jnp.ndarray:
+    V = state.voxel_keys.shape[0]
+    return jnp.arange(V, dtype=jnp.int32) < state.num_voxels
+
+
+# ---------------------------------------------------------------------------
+# insertion
+# ---------------------------------------------------------------------------
+
+
+def insert_points(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
+                  settings: MapSettings) -> MapState:
+    """Insert a world-space point cloud; allocate voxels + corner cells.
+
+    Replaces `Octree::insert` (`octree.cpp:104-294`): every valid point's
+    voxel becomes SURFACE; all 8 corner cells of each such voxel get stable
+    embedding ids (the reference creates corner-shifted FEATURE leaves for
+    this, `octree.cpp:140-175`). Fully jittable, static shapes.
+
+    Args:
+      points: (N, 3) float world coordinates.
+      valid:  (N,) bool.
+    """
+    F = settings.frame_voxel_capacity
+    C = state.cell_keys.shape[0]
+    V = state.voxel_keys.shape[0]
+    bits = settings.coord_bits
+
+    coords = jnp.floor(points / settings.voxel_size).astype(jnp.int32)
+    keys = jnp.where(valid, pack_coords(coords, bits), SENTINEL)
+
+    # unique voxels touched this frame (sorted ascending, SENTINEL pad)
+    frame_keys = jnp.unique(keys, size=F, fill_value=SENTINEL)
+    frame_valid = frame_keys != SENTINEL
+
+    # 8 corner cells of every frame voxel
+    fcoords = unpack_key(frame_keys, bits)                       # (F, 3)
+    corner_coords = fcoords[:, None, :] + CORNER_OFFSETS[None]   # (F, 8, 3)
+    corner_keys = jnp.where(
+        frame_valid[:, None], pack_coords(corner_coords, bits), SENTINEL)
+
+    # ---- cell allocation -------------------------------------------------
+    cand = jnp.unique(corner_keys.reshape(-1), size=8 * F, fill_value=SENTINEL)
+    cand_found, _ = lookup_cells(state, cand)
+    new_cell = (~cand_found) & (cand != SENTINEL)
+    # capacity guard: silently drop allocations beyond capacity (monitored
+    # host-side via num_cells; reference would index OOB past 20000 instead)
+    order = jnp.cumsum(new_cell.astype(jnp.int32)) - 1
+    new_ids = state.num_cells + order
+    fits = new_cell & (new_ids < C)
+    new_keys_arr = jnp.where(fits, cand, SENTINEL)
+    new_ids_arr = jnp.where(fits, new_ids, 0).astype(jnp.int32)
+
+    merged_keys = jnp.concatenate([state.cell_keys, new_keys_arr])
+    merged_ids = jnp.concatenate([state.cell_ids, new_ids_arr])
+    merged_vslot = jnp.concatenate(
+        [state.cell_vslot, jnp.full((8 * F,), -1, dtype=jnp.int32)])
+    perm = jnp.argsort(merged_keys)[:C]
+    cell_keys = merged_keys[perm]
+    cell_ids = merged_ids[perm]
+    cell_vslot = merged_vslot[perm]
+    num_cells = jnp.minimum(
+        state.num_cells + jnp.sum(fits.astype(jnp.int32)), C).astype(jnp.int32)
+
+    state = state._replace(
+        cell_keys=cell_keys, cell_ids=cell_ids, cell_vslot=cell_vslot,
+        num_cells=num_cells)
+
+    # ---- voxel allocation ------------------------------------------------
+    existing_slot = lookup_voxel_slots(state, frame_keys)
+    is_new_voxel = frame_valid & (existing_slot < 0)
+    vorder = jnp.cumsum(is_new_voxel.astype(jnp.int32)) - 1
+    new_slots = state.num_voxels + vorder
+    vfits = is_new_voxel & (new_slots < V)
+    slot_for = jnp.where(vfits, new_slots, V)  # V == dropped (OOB-safe w/ mode)
+
+    voxel_keys = state.voxel_keys.at[slot_for].set(
+        frame_keys, mode="drop")
+
+    # corner embedding ids (all corners of a kept voxel exist now)
+    _, corner_ids = lookup_cells(state, corner_keys)             # (F, 8)
+    voxel_vertex_ids = state.voxel_vertex_ids.at[slot_for].set(
+        jnp.maximum(corner_ids, 0), mode="drop")
+
+    num_voxels = jnp.minimum(
+        state.num_voxels + jnp.sum(vfits.astype(jnp.int32)), V).astype(jnp.int32)
+
+    # record voxel slots in the cell table (FEATURE -> SURFACE upgrade,
+    # reference `octree.cpp:251-252`)
+    pos = jnp.searchsorted(state.cell_keys, frame_keys)
+    pos = jnp.clip(pos, 0, C - 1)
+    hit = (state.cell_keys[pos] == frame_keys) & vfits
+    cell_vslot = state.cell_vslot.at[jnp.where(hit, pos, C)].set(
+        jnp.where(vfits, slot_for, -1), mode="drop")
+
+    return state._replace(
+        voxel_keys=voxel_keys, voxel_vertex_ids=voxel_vertex_ids,
+        num_voxels=num_voxels, cell_vslot=cell_vslot)

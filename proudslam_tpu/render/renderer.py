@@ -1,0 +1,109 @@
+"""Differentiable SDF volume renderer (pure-jnp reference path).
+
+Re-design of `render_rays` (`src/variations/render_helpers.py:351-556`) with
+static shapes and masks instead of boolean compaction: every ray keeps its
+lane; rays that miss the map are masked out of the loss via ``hit_mask``.
+This file is the *correctness oracle*; the fused Pallas kernels in
+`ops/pallas/` are benchmarked and tested against it.
+
+Pipeline per ray batch:
+  intersect (sorted voxel hits) -> stratified segment samples ->
+  trilinear feature gather -> MLP decode -> sdf2weights -> integrate.
+
+Gradient flow matches the reference exactly: sample depths/indices are
+non-differentiable (`voxel_helpers.py:364-366`), pose gradients flow only
+through ``sampled_xyz = o + d * stop_grad(z)``
+(`render_helpers.py:436-441`), and map gradients through the trilinear
+gather + MLP.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from proudslam_tpu.config import DecoderSettings, RenderSettings
+from proudslam_tpu.models.decoder import decoder_values
+from proudslam_tpu.ops.intersect import ray_intersect
+from proudslam_tpu.ops.interp import gather_voxel_features
+from proudslam_tpu.ops.sampling import RaySamples, sample_rays_in_segments
+
+
+class RenderOutputs(NamedTuple):
+    color: jnp.ndarray      # (R, 3)
+    depth: jnp.ndarray      # (R,)
+    sdf: jnp.ndarray        # (R, S) — 1.0 at invalid samples
+    z_vals: jnp.ndarray     # (R, S) — sentinel at invalid samples
+    weights: jnp.ndarray    # (R, S)
+    sample_mask: jnp.ndarray  # (R, S) bool
+    hit_mask: jnp.ndarray   # (R,) bool
+    z_min: jnp.ndarray      # (R,) first zero-crossing depth
+
+
+def sdf_to_weights(sdf: jnp.ndarray, z_vals: jnp.ndarray,
+                   valid: jnp.ndarray, truncation: float):
+    """Bell-shaped SDF weights with first-surface truncation masking.
+
+    Mirrors `sdf2weights` (`render_helpers.py:521-539`): weight =
+    sigmoid(sdf/T)*sigmoid(-sdf/T), masked to z < z_first_crossing + T and
+    to valid samples, then normalized per ray.
+    """
+    w = jax.nn.sigmoid(sdf / truncation) * jax.nn.sigmoid(-sdf / truncation)
+    signs = sdf[:, 1:] * sdf[:, :-1]
+    crossing = (signs < 0.0).astype(jnp.float32)
+    inds = jnp.argmax(crossing, axis=1)             # first crossing (0 if none)
+    z_min = jnp.take_along_axis(z_vals, inds[:, None], axis=1)
+    trunc_mask = (z_vals < z_min + truncation).astype(jnp.float32)
+    w = w * trunc_mask * valid.astype(jnp.float32)
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-8)
+    return w, z_min[:, 0]
+
+
+def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                voxel_centers: jnp.ndarray, voxel_valid: jnp.ndarray,
+                voxel_vertex_ids: jnp.ndarray, embeddings: jnp.ndarray,
+                decoder_params, decoder_settings: DecoderSettings,
+                settings: RenderSettings, noise: jnp.ndarray,
+                ) -> RenderOutputs:
+    """Render a batch of rays against the current map.
+
+    Args:
+      rays_o, rays_d: (R, 3) world rays; directions unnormalized so depth
+        integrates camera-plane z (reference convention).
+      noise: (R, max_samples - max_hits) stratification uniforms.
+    """
+    inter = ray_intersect(
+        rays_o, rays_d, voxel_centers, voxel_valid, settings)
+    samples: RaySamples = sample_rays_in_segments(inter, settings, noise)
+
+    # depths / indices are non-differentiable w.r.t. pose (reference
+    # marks them non-diff, voxel_helpers.py:364-366)
+    z_vals = jax.lax.stop_gradient(samples.depth)          # (R, S)
+    idx = jax.lax.stop_gradient(samples.voxel_idx)
+    valid = idx >= 0
+
+    sampled_xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    R, S = z_vals.shape
+    feats = gather_voxel_features(
+        sampled_xyz.reshape(R * S, 3), idx.reshape(R * S),
+        voxel_centers, voxel_vertex_ids, embeddings, settings.voxel_size)
+
+    out = decoder_values(decoder_params, decoder_settings, feats)
+    color = out[:, :3].reshape(R, S, 3)
+    sdf = out[:, 3].reshape(R, S)
+
+    # invalid lanes: sdf -> 1 (free space), color -> 0
+    # (reference masked_scatter_ones / masked_scatter,
+    # render_helpers.py:510-511)
+    sdf = jnp.where(valid, sdf, 1.0)
+    color = jnp.where(valid[..., None], color, 0.0)
+
+    weights, z_min = sdf_to_weights(sdf, z_vals, valid, settings.truncation)
+    rgb = jnp.sum(weights[..., None] * color, axis=-2)
+    depth = jnp.sum(weights * jnp.where(valid, z_vals, 0.0), axis=-1)
+
+    return RenderOutputs(
+        color=rgb, depth=depth, sdf=sdf, z_vals=z_vals, weights=weights,
+        sample_mask=valid, hit_mask=inter.hit_mask, z_min=z_min)
