@@ -1,0 +1,86 @@
+"""Benchmark: tracked+mapped frames/s of the full SLAM loop on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md); the upstream Vox-Fusion
+system class runs ~2 frames/s on an RTX-3090-class GPU at the reference's
+compute budget (30x1024-ray tracking iters + 10x5x1024-ray mapping iters
+per frame). vs_baseline is reported against that 2 fps anchor; the driver
+target is >= 3x (BASELINE.json).
+
+Runs at the reference's full Replica compute budget regardless of the
+synthetic input resolution (the per-frame work is ray-count-, not
+pixel-count-, driven).
+"""
+
+import json
+import sys
+import time
+
+
+def main():
+    import numpy as np
+
+    from proudslam_tpu.config import (
+        DecoderSettings, LossSettings, MapSettings, MapperSettings,
+        RenderSettings, SystemSettings, TrackerSettings)
+    from proudslam_tpu.data.synthetic import SyntheticDataset
+    from proudslam_tpu.engine.slam import SlamSystem
+    from proudslam_tpu.utils.metrics import ate_rmse
+
+    settings = SystemSettings(
+        render=RenderSettings(voxel_size=0.2, step_size=0.02, truncation=0.1,
+                              max_distance=10.0, max_hits=24, max_samples=96),
+        map=MapSettings(voxel_size=0.2, num_embeddings=20000, embed_dim=16,
+                        voxel_capacity=20000, frame_voxel_capacity=4096),
+        decoder=DecoderSettings(depth=2, width=128, in_dim=16, sdf_dim=128),
+        tracker=TrackerSettings(n_rays=1024, num_iterations=30,
+                                learning_rate=0.01),
+        mapper=MapperSettings(n_rays_each=1024, window_size=4,
+                              num_iterations=10, keyframe_gap=50,
+                              max_keyframes=64, init_iterations=100),
+        loss=LossSettings(),
+    )
+
+    n_frames = 20
+    ds = SyntheticDataset(num_frames=n_frames, width=320, height=240)
+    slam = SlamSystem(settings, ds.intrinsics, (ds.height, ds.width), seed=0)
+
+    _, rgb, depth, _, pose0 = ds[0]
+    slam.initialize(rgb, depth, pose0, stamp=0)
+
+    warmup = 3
+    for i in range(1, 1 + warmup):
+        _, rgb, depth, _, _ = ds[i]
+        slam.process_frame(i, rgb, depth)
+
+    t0 = time.perf_counter()
+    timed = 0
+    for i in range(1 + warmup, n_frames):
+        _, rgb, depth, _, _ = ds[i]
+        slam.process_frame(i, rgb, depth)
+        timed += 1
+    elapsed = time.perf_counter() - t0
+
+    fps = timed / elapsed
+    est = slam.get_trajectory()
+    gt = np.stack(ds.poses)
+    ate_cm = ate_rmse(est, gt, align=False) * 100
+
+    result = {
+        "metric": "tracked_frames_per_second",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 2.0, 3),
+        "extra": {
+            "ate_rmse_cm": round(ate_cm, 3),
+            "frames_timed": timed,
+            "num_voxels": int(slam.map_state.num_voxels),
+            "num_keyframes": slam.num_kf,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,233 @@
+"""The SLAM system: deterministic track/map interleave in one program.
+
+Re-design of the reference's process architecture (`src/voxslam.py:16-74`):
+instead of tracker and mapper processes exchanging pickled snapshots
+through a manager socket (`share.py`, `tracking.py:116-126`,
+`mapping.py:236-248`), both stages are jitted functions over shared
+device-resident state, interleaved deterministically:
+
+  per frame:  track (30 Adam iters on pose)
+              -> write frame to provisional keyframe slot
+              -> map round (10 BA iters over window + provisional slot)
+              -> insert frame's depth cloud into the voxel map
+              -> commit keyframe if stamp gap > keyframe_gap
+
+This matches the reference's effective post-initialization schedule (its
+mapper performs exactly one ``do_mapping`` per tracked frame,
+`mapping.py:96-156`) while removing the per-frame pickle + D2H/H2D
+snapshot cost and making runs reproducible.
+
+The trajectory is stored as (reference-keyframe, relative-pose) pairs and
+re-composed with the *final optimized* keyframe poses at the end, exactly
+like `Mapping.get_updated_poses` (`mapping.py:410-419`).
+
+Note: the reference shifts all poses by +10 m to force positive octree
+coordinates (`frame.py:24`); our hash packs signed coordinates, so no
+offset is applied.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from proudslam_tpu.config import SystemSettings
+from proudslam_tpu.engine import state as kfstate
+from proudslam_tpu.engine.mapper import MapOptState, init_map_opt, map_step
+from proudslam_tpu.engine.tracker import TrackResult, track_frame
+from proudslam_tpu.geometry import camera, se3
+from proudslam_tpu.models.decoder import init_decoder
+from proudslam_tpu.ops import voxel_hash as vh
+
+
+class SlamSystem:
+    """Host-side driver owning device state and jitted step functions."""
+
+    def __init__(self, settings: SystemSettings,
+                 intrinsics: Tuple[float, float, float, float],
+                 image_hw: Tuple[int, int], seed: int = 0,
+                 point_stride: int = 1):
+        self.settings = settings
+        self.height, self.width = image_hw
+        fx, fy, cx, cy = intrinsics
+        self.rays_dir = camera.pixel_ray_directions(
+            self.width, self.height, fx, fy, cx, cy)
+        self.point_stride = point_stride
+
+        key = jax.random.PRNGKey(seed)
+        k_map, k_dec, self._key = jax.random.split(key, 3)
+        self.map_state = vh.init_map_state(settings.map, k_map)
+        self.decoder_params = init_decoder(k_dec, settings.decoder)
+        self.opt: MapOptState = init_map_opt(
+            self.map_state.embeddings, self.decoder_params)
+        self.store = kfstate.init_keyframe_store(
+            settings.mapper.max_keyframes, self.height, self.width)
+
+        # host-side bookkeeping
+        self.num_kf = 0                      # committed keyframes
+        self.kf_stamps: List[int] = []
+        self.frame_poses: List[Tuple[int, np.ndarray]] = []  # (ref_kf, rel 4x4)
+        self.last_pose6: Optional[jnp.ndarray] = None
+        self.rng = np.random.default_rng(seed)
+
+        # settings structs are captured by closure (static), not traced
+        def _track_fn(map_state, decoder_params, prev_pose, rays_dir,
+                      rgb, depth, key):
+            return track_frame(map_state, decoder_params, prev_pose,
+                               rays_dir, rgb, depth, key, settings)
+
+        def _map_fn(map_state, decoder_params, store, opt, rays_dir,
+                    sel, valid, key, update_pose=True, update_decoder=True):
+            return map_step(map_state, decoder_params, store, opt, rays_dir,
+                            sel, valid, key, settings,
+                            update_pose=update_pose,
+                            update_decoder=update_decoder)
+
+        self._track = jax.jit(_track_fn)
+        self._map = jax.jit(
+            _map_fn, static_argnames=("update_pose", "update_decoder"))
+        self._insert = jax.jit(self._insert_impl)
+        self._write = jax.jit(kfstate.write_frame)
+
+    # ------------------------------------------------------------------
+
+    def _insert_impl(self, map_state: vh.MapState, depth: jnp.ndarray,
+                     pose6: jnp.ndarray) -> vh.MapState:
+        """Backproject a depth map at the (refined) pose and allocate voxels
+        (reference `create_voxels_pointcloud`, `mapping.py:258-295`)."""
+        st = self.point_stride
+        d = depth[::st, ::st]
+        dirs = self.rays_dir[::st, ::st]
+        pts_cam = camera.backproject(dirs, d).reshape(-1, 3)
+        valid = (d > 0).reshape(-1)
+        R = se3.exp_rotation(pose6[3:6])
+        pts_world = camera.transform_points(pts_cam, R, pose6[0:3])
+        return vh.insert_points(map_state, pts_world, valid, self.settings.map)
+
+    def _next_key(self) -> jax.Array:
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _select_window(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Random keyframe window + provisional slot (reference
+        `select_optimize_targets`, `mapping.py:220-234`)."""
+        w = self.settings.mapper.window_size
+        committed = list(range(self.num_kf))
+        if len(committed) <= w:
+            window = committed
+        else:
+            window = list(self.rng.choice(committed, size=w, replace=False))
+        sel = window + [self.num_kf]          # provisional slot last
+        n_slots = w + 1
+        valid = [True] * len(sel)
+        while len(sel) < n_slots:
+            sel.append(self.settings.mapper.max_keyframes - 1)
+            valid.append(False)
+        return (jnp.asarray(sel[:n_slots], dtype=jnp.int32),
+                jnp.asarray(valid[:n_slots], dtype=bool))
+
+    def _append_trajectory(self, pose6_np: np.ndarray):
+        ref = max(self.num_kf - 1, 0)
+        ref_mat = np.asarray(
+            se3.matrix_from_tangent(self.store.poses[ref]))
+        mat = np.asarray(se3.matrix_from_tangent(jnp.asarray(pose6_np)))
+        rel = np.linalg.inv(ref_mat) @ mat
+        self.frame_poses.append((ref, rel))
+
+    # ------------------------------------------------------------------
+
+    def initialize(self, rgb: np.ndarray, depth: np.ndarray,
+                   init_pose: np.ndarray, stamp: int = 0):
+        """Seed the map from the first frame at the given pose
+        (reference `process_first_frame` + mapper init branch,
+        `tracking.py:56-66`, `mapping.py:105-121`)."""
+        pose6 = se3.tangent_from_matrix(jnp.asarray(init_pose, jnp.float32))
+        zeros6 = jnp.zeros((6,))
+        self.store = self._write(
+            self.store, jnp.int32(0), jnp.asarray(rgb, jnp.float32),
+            jnp.asarray(depth, jnp.float32), jnp.int32(stamp), pose6,
+            zeros6, zeros6, jnp.zeros((), jnp.int32))
+        self.num_kf = 1
+        self.kf_stamps = [stamp]
+        self.map_state = self._insert(
+            self.map_state, jnp.asarray(depth, jnp.float32), pose6)
+
+        sel = jnp.zeros((self.settings.mapper.window_size + 1,), jnp.int32)
+        valid = jnp.zeros_like(sel, dtype=bool).at[0].set(True)
+        n_rounds = max(
+            1, self.settings.mapper.init_iterations
+            // self.settings.mapper.num_iterations)
+        for _ in range(n_rounds):
+            res = self._map(self.map_state, self.decoder_params, self.store,
+                            self.opt, self.rays_dir, sel, valid,
+                            self._next_key())
+            self.map_state, self.decoder_params = res.map_state, res.decoder_params
+            self.store, self.opt = res.store, res.opt
+        self.last_pose6 = pose6
+        self._append_trajectory(np.asarray(pose6))
+
+    def process_frame(self, stamp: int, rgb: np.ndarray, depth: np.ndarray
+                      ) -> np.ndarray:
+        """Track + map one frame; returns the refined 4x4 world pose."""
+        rgb_d = jnp.asarray(rgb, jnp.float32)
+        depth_d = jnp.asarray(depth, jnp.float32)
+
+        result: TrackResult = self._track(
+            self.map_state, self.decoder_params, self.last_pose6,
+            self.rays_dir, rgb_d, depth_d, self._next_key())
+
+        slot = jnp.int32(min(self.num_kf,
+                             self.settings.mapper.max_keyframes - 1))
+        self.store = self._write(
+            self.store, slot, rgb_d, depth_d, jnp.int32(stamp), result.pose,
+            result.adam_m, result.adam_v, result.adam_t)
+
+        sel, valid = self._select_window()
+        res = self._map(self.map_state, self.decoder_params, self.store,
+                        self.opt, self.rays_dir, sel, valid, self._next_key())
+        self.map_state, self.decoder_params = res.map_state, res.decoder_params
+        self.store, self.opt = res.store, res.opt
+
+        refined = self.store.poses[slot]
+        self.map_state = self._insert(self.map_state, depth_d, refined)
+
+        # keyframe commit rule (reference `mapping.py:136-139`)
+        if stamp - self.kf_stamps[self.num_kf - 1] > \
+                self.settings.mapper.keyframe_gap \
+                and self.num_kf < self.settings.mapper.max_keyframes - 1:
+            self.num_kf += 1
+            self.kf_stamps.append(stamp)
+
+        refined_np = np.asarray(refined)
+        self._append_trajectory(refined_np)
+        # the tracker continues from the BA-refined pose (reference keeps
+        # last_frame whose pose object was refined in-place by BA only for
+        # the mapper's copy; the tracker uses its own — we pick the refined
+        # one, which is strictly fresher)
+        self.last_pose6 = refined
+        return np.asarray(se3.matrix_from_tangent(jnp.asarray(refined_np)))
+
+    def finalize(self, final_rounds: int = 0):
+        """Optional final refinement with frozen poses/decoder
+        (reference `mapping.py:158-163`)."""
+        for _ in range(final_rounds):
+            sel, valid = self._select_window()
+            res = self._map(self.map_state, self.decoder_params, self.store,
+                            self.opt, self.rays_dir, sel, valid,
+                            self._next_key(), update_pose=False,
+                            update_decoder=False)
+            self.map_state = res.map_state
+            self.store, self.opt = res.store, res.opt
+
+    def get_trajectory(self) -> np.ndarray:
+        """(N, 4, 4) world poses recomposed with final keyframe poses
+        (reference `get_updated_poses`, `mapping.py:410-419`)."""
+        kf_mats = np.asarray(jax.vmap(se3.matrix_from_tangent)(
+            self.store.poses))
+        out = []
+        for ref, rel in self.frame_poses:
+            out.append(kf_mats[ref] @ rel)
+        return np.stack(out)

@@ -1,4 +1,4 @@
-"""Device-resident SLAM state: keyframe store, pose table, optimizer state.
+"""Device-resident SLAM state: keyframe store + per-keyframe pose optimizer.
 
 The reference shuttles keyframes (full ``RGBDFrame`` modules with CUDA
 tensors) through a 1-slot multiprocessing queue and per-property deep-copied
@@ -7,26 +7,25 @@ everything lives in fixed-capacity device arrays inside one program — the
 "handoff" is just passing pytrees between jitted calls.
 
 Keyframe protocol (mirrors `mapping.py:96-156` semantics):
-  * every tracked frame is written to the *provisional* slot ``count``;
+  * every tracked frame is written to the *provisional* slot ``num_kf``
+    (slot index managed host-side by the SLAM driver);
   * bundle adjustment optimizes a random window of committed keyframes plus
     the provisional slot;
-  * the slot is committed (count += 1) when
-    ``stamp - stamp[count-1] > keyframe_gap`` (reference: hardcoded 50);
+  * the slot is committed (num_kf += 1 on the host) when
+    ``stamp - stamp[num_kf-1] > keyframe_gap`` (reference: hardcoded 50);
   * slot 0 (stamp 0) is never pose-optimized (reference
     `render_helpers.py:594-596`).
 
 Pose Adam moments are stored per slot and *seeded from the tracking loop's
 final Adam state* — the reference pickles the tracker's optimizer along
 with the frame and bundle adjustment keeps stepping it
-(`tracking.py:150`, `render_helpers.py:594-600`), so keyframe poses are
-BA-stepped with the tracker's lr and warm moments.
+(`tracking.py:150`, `render_helpers.py:594-600`).
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 
@@ -42,7 +41,6 @@ class KeyframeStore(NamedTuple):
     stamps: jnp.ndarray  # (K,) int32 frame ids (-1 = empty)
     poses: jnp.ndarray   # (K, 6) SE(3) tangent [t, w]
     pose_adam: PoseAdamState
-    count: jnp.ndarray   # () int32 committed keyframes (excl. provisional)
 
 
 def init_keyframe_store(capacity: int, height: int, width: int) -> KeyframeStore:
@@ -56,16 +54,14 @@ def init_keyframe_store(capacity: int, height: int, width: int) -> KeyframeStore
             v=jnp.zeros((capacity, 6), dtype=jnp.float32),
             t=jnp.zeros((capacity,), dtype=jnp.int32),
         ),
-        count=jnp.zeros((), dtype=jnp.int32),
     )
 
 
-def write_provisional(store: KeyframeStore, rgb: jnp.ndarray,
-                      depth: jnp.ndarray, stamp: jnp.ndarray,
-                      pose: jnp.ndarray, adam_m: jnp.ndarray,
-                      adam_v: jnp.ndarray, adam_t: jnp.ndarray) -> KeyframeStore:
-    """Write the current tracked frame into slot ``count`` (capacity-clamped)."""
-    slot = jnp.minimum(store.count, store.stamps.shape[0] - 1)
+def write_frame(store: KeyframeStore, slot: jnp.ndarray, rgb: jnp.ndarray,
+                depth: jnp.ndarray, stamp: jnp.ndarray, pose: jnp.ndarray,
+                adam_m: jnp.ndarray, adam_v: jnp.ndarray,
+                adam_t: jnp.ndarray) -> KeyframeStore:
+    """Write a tracked frame into a slot (jittable; slot may be traced)."""
     return store._replace(
         rgb=store.rgb.at[slot].set(rgb),
         depth=store.depth.at[slot].set(depth),
@@ -77,19 +73,3 @@ def write_provisional(store: KeyframeStore, rgb: jnp.ndarray,
             t=store.pose_adam.t.at[slot].set(adam_t),
         ),
     )
-
-
-def maybe_commit_keyframe(store: KeyframeStore, keyframe_gap: int) -> KeyframeStore:
-    """Commit the provisional slot when the stamp gap rule fires
-    (reference `mapping.py:136-139`)."""
-    K = store.stamps.shape[0]
-    slot = jnp.minimum(store.count, K - 1)
-    last = jnp.maximum(store.count - 1, 0)
-    gap = store.stamps[slot] - store.stamps[last]
-    should = (gap > keyframe_gap) & (store.count < K)
-    new_count = jnp.where(should, store.count + 1, store.count)
-    return store._replace(count=new_count.astype(jnp.int32))
-
-
-def commit_first_keyframe(store: KeyframeStore) -> KeyframeStore:
-    return store._replace(count=jnp.ones((), dtype=jnp.int32))

@@ -1,0 +1,104 @@
+"""Frame-to-model tracking: SE(3) pose optimization against the map.
+
+Re-design of `track_frame` (`src/variations/render_helpers.py:679-761`):
+a single jitted `lax.scan` over ``num_iterations`` Adam steps on the 6-dof
+pose tangent. Each iteration re-samples a fresh Gumbel-top-k pixel batch
+(like the reference), renders the rays against the *frozen* map, and steps
+the pose on the photometric + depth + SDF loss with depth-variance outlier
+weighting (`tracking.py:146`).
+
+Pose gradients flow only through ``sampled_xyz = o + R d * stop_grad(z)`` —
+matching the reference's non-differentiable sampling.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from proudslam_tpu.config import SystemSettings
+from proudslam_tpu.engine.adam import B1, B2, EPS
+from proudslam_tpu.geometry import se3
+from proudslam_tpu.ops import voxel_hash as vh
+from proudslam_tpu.ops.sampling import sample_frame_pixels
+from proudslam_tpu.render.losses import compute_loss
+from proudslam_tpu.render.renderer import render_rays
+
+
+class TrackResult(NamedTuple):
+    pose: jnp.ndarray       # (6,) refined tangent
+    adam_m: jnp.ndarray     # (6,) final Adam moments (seed BA warm start)
+    adam_v: jnp.ndarray     # (6,)
+    adam_t: jnp.ndarray     # () int32
+    loss: jnp.ndarray       # () final-iteration loss
+    hit_ratio: jnp.ndarray  # () fraction of rays that hit the map
+
+
+def track_frame(map_state: vh.MapState, decoder_params,
+                prev_pose: jnp.ndarray, rays_dir: jnp.ndarray,
+                rgb: jnp.ndarray, depth: jnp.ndarray,
+                key: jax.Array, settings: SystemSettings) -> TrackResult:
+    """Track one RGB-D frame starting from the previous frame's pose.
+
+    Args:
+      prev_pose: (6,) tangent of the last tracked pose (constant-position
+        motion model, reference `tracking.py:130-131`).
+      rays_dir: (H, W, 3) camera-frame pixel ray directions.
+      rgb: (H, W, 3); depth: (H, W).
+    """
+    trk = settings.tracker
+    rnd = settings.render
+    n_rays = trk.n_rays
+    SJ = rnd.max_samples - rnd.max_hits
+
+    centers = vh.voxel_centers(map_state, settings.map)
+    vmask = vh.voxel_valid_mask(map_state)
+
+    dirs_flat = rays_dir.reshape(-1, 3)
+    rgb_flat = rgb.reshape(-1, 3)
+    depth_flat = depth.reshape(-1)
+    pixel_mask = jnp.ones_like(depth_flat)
+
+    def loss_fn(pose6, dirs, gt_c, gt_d, noise):
+        R = se3.exp_rotation(pose6[3:6])
+        world_d = dirs @ R.T
+        world_o = jnp.broadcast_to(pose6[0:3], world_d.shape)
+        outputs = render_rays(
+            world_o, world_d, centers, vmask,
+            map_state.voxel_vertex_ids, map_state.embeddings,
+            decoder_params, settings.decoder, rnd, noise)
+        loss, aux = compute_loss(
+            outputs, gt_c, gt_d, settings.loss,
+            weight_depth_loss=trk.depth_variance)
+        hit_ratio = jnp.mean(outputs.hit_mask.astype(jnp.float32))
+        return loss, hit_ratio
+
+    def step(carry, _):
+        pose6, m, v, t, k = carry
+        k, k_pix, k_noise = jax.random.split(k, 3)
+        pix = sample_frame_pixels(k_pix, pixel_mask, n_rays)
+        dirs = dirs_flat[pix]
+        gt_c = rgb_flat[pix]
+        gt_d = depth_flat[pix]
+        noise = jax.random.uniform(k_noise, (n_rays, SJ))
+
+        (loss, hit_ratio), grad = jax.value_and_grad(
+            loss_fn, has_aux=True)(pose6, dirs, gt_c, gt_d, noise)
+
+        t = t + 1
+        tf = t.astype(jnp.float32)
+        m = B1 * m + (1 - B1) * grad
+        v = B2 * v + (1 - B2) * grad * grad
+        step_vec = trk.learning_rate * (m / (1 - B1 ** tf)) / (
+            jnp.sqrt(v / (1 - B2 ** tf)) + EPS)
+        pose6 = pose6 - step_vec
+        return (pose6, m, v, t, k), (loss, hit_ratio)
+
+    init = (prev_pose,
+            jnp.zeros((6,)), jnp.zeros((6,)), jnp.zeros((), jnp.int32), key)
+    (pose6, m, v, t, _), (losses, hits) = jax.lax.scan(
+        step, init, None, length=trk.num_iterations)
+    return TrackResult(pose=pose6, adam_m=m, adam_v=v, adam_t=t,
+                       loss=losses[-1], hit_ratio=hits[-1])

@@ -45,6 +45,12 @@ def ray_box_slab(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     hi = (centers[None, :, :] + half - rays_o[:, None, :]) * inv_d[:, None, :]
     t1 = jnp.minimum(lo, hi)
     t2 = jnp.maximum(lo, hi)
+    # 0 * inf -> NaN when the ray lies exactly on a slab plane of a
+    # zero-component axis; the reference's ternary comparisons silently
+    # skip such axes (`intersect_gpu.cu:118-133` — NaN compares false),
+    # i.e. the axis imposes no constraint. Replicate explicitly.
+    t1 = jnp.where(jnp.isnan(t1), -jnp.inf, t1)
+    t2 = jnp.where(jnp.isnan(t2), jnp.inf, t2)
     t_near = jnp.maximum(jnp.max(t1, axis=-1), 0.0)       # f_low starts at 0
     t_far = jnp.min(t2, axis=-1)
     hit = t_near <= t_far

@@ -1,0 +1,72 @@
+"""End-to-end SLAM on a synthetic RGB-D sequence (CPU-runnable).
+
+Plays the role of BASELINE.json config 1 (small clip, small capacities):
+track+map a short trajectory through an analytic scene and check the
+estimated trajectory against ground truth.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from proudslam_tpu.config import (
+    DecoderSettings, LossSettings, MapSettings, MapperSettings,
+    RenderSettings, SystemSettings, TrackerSettings)
+from proudslam_tpu.data.synthetic import SyntheticDataset
+from proudslam_tpu.engine.slam import SlamSystem
+from proudslam_tpu.utils.metrics import ate_rmse
+
+
+def small_settings() -> SystemSettings:
+    return SystemSettings(
+        render=RenderSettings(voxel_size=0.2, step_size=0.02, truncation=0.1,
+                              max_distance=10.0, max_hits=12, max_samples=72),
+        map=MapSettings(voxel_size=0.2, num_embeddings=8192, embed_dim=16,
+                        voxel_capacity=4096, frame_voxel_capacity=1024),
+        decoder=DecoderSettings(depth=2, width=64, in_dim=16, sdf_dim=64),
+        tracker=TrackerSettings(n_rays=256, num_iterations=30,
+                                learning_rate=0.01),
+        mapper=MapperSettings(n_rays_each=256, window_size=2,
+                              num_iterations=5, keyframe_gap=8,
+                              max_keyframes=16, init_iterations=60),
+        loss=LossSettings(),
+    )
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return SyntheticDataset(num_frames=12, width=64, height=48)
+
+
+def test_synthetic_dataset_sane(dataset):
+    _, rgb, depth, K, pose = dataset[0]
+    assert rgb.shape == (48, 64, 3)
+    assert depth.shape == (48, 64)
+    assert (depth > 0).mean() > 0.9          # camera inside the room
+    assert depth[depth > 0].min() > 0.2
+    assert depth.max() < 6.0                  # room is ~4 m across
+    assert 0.0 <= rgb.min() and rgb.max() <= 1.0
+
+
+def test_slam_end_to_end(dataset):
+    s = small_settings()
+    slam = SlamSystem(s, dataset.intrinsics, (dataset.height, dataset.width),
+                      seed=0)
+    _, rgb, depth, _, pose0 = dataset[0]
+    slam.initialize(rgb, depth, pose0, stamp=0)
+    assert int(slam.map_state.num_voxels) > 50
+
+    for i in range(1, len(dataset)):
+        _, rgb, depth, _, _ = dataset[i]
+        slam.process_frame(i, rgb, depth)
+
+    est = slam.get_trajectory()
+    gt = np.stack(dataset.poses)
+    assert est.shape == (len(dataset), 4, 4)
+
+    ate = ate_rmse(est, gt, align=False)
+    # motion between frames is ~7 cm; tracking must do much better
+    assert ate < 0.05, f"ATE {ate*100:.2f} cm"
+
+    # at least one extra keyframe committed (gap rule fires at stamp > 8)
+    assert slam.num_kf >= 2
