@@ -128,24 +128,23 @@ def marching_tets_chunk(sdf: jnp.ndarray, centers: jnp.ndarray,
     valid = tri_edges[..., 0] >= 0                          # (B, C, 6, 2)
 
     edges = jnp.asarray(TET_EDGES)                          # (6, 2)
-    safe_edges = jnp.maximum(tri_edges, 0)
-    ab = edges[safe_edges]                                  # (B, C, 6, 2, 3, 2)
-    ea, eb = ab[..., 0], ab[..., 1]
+    ab = edges[jnp.maximum(tri_edges, 0)]                   # (B, C, 6, 2, 3, 2)
+    ea, eb = ab[..., 0], ab[..., 1]                         # tet-corner ids
 
-    va = jnp.take_along_axis(
-        tet_vals[:, :, :, None, None, :], ea[..., None], axis=-1)[..., 0]
-    vb = jnp.take_along_axis(
-        tet_vals[:, :, :, None, None, :], eb[..., None], axis=-1)[..., 0]
-    pa = jnp.take_along_axis(
-        tet_pos[:, :, :, None, None, :, :],
-        ea[..., None, None].repeat(3, -1), axis=-3)[..., 0, :]
-    pb = jnp.take_along_axis(
-        tet_pos[:, :, :, None, None, :, :],
-        eb[..., None, None].repeat(3, -1), axis=-3)[..., 0, :]
+    N = B * C * 6
+    vals = tet_vals.reshape(N, 4)
+    pos = tet_pos.reshape(N, 4, 3)
+    row = jnp.arange(N)[:, None, None]
+    ea_f = ea.reshape(N, 2, 3)
+    eb_f = eb.reshape(N, 2, 3)
+    va = vals[row, ea_f]                                    # (N, 2, 3)
+    vb = vals[row, eb_f]
+    pa = pos[row, ea_f]                                     # (N, 2, 3, 3)
+    pb = pos[row, eb_f]
 
-    t = va / (va - vb + 1e-12)
-    t = jnp.clip(t, 0.0, 1.0)
-    verts = pa + t[..., None] * (pb - pa)                   # (B,C,6,2,3,3)
+    t = jnp.clip(va / (va - vb + 1e-12), 0.0, 1.0)
+    verts = pa + t[..., None] * (pb - pa)
+    verts = verts.reshape(B, C, 6, 2, 3, 3)
 
     # orient: flip triangles whose normal opposes the SDF gradient
     e1 = verts[..., 1, :] - verts[..., 0, :]
@@ -207,12 +206,9 @@ def marching_tets(sdf_grids: np.ndarray, centers: np.ndarray,
     flat = soup.reshape(-1, 3)
     keys = np.round(flat / 1e-5).astype(np.int64)
     uniq, inv = np.unique(keys, axis=0, return_inverse=True)
-    # representative positions: first occurrence
-    first = np.zeros(len(uniq), dtype=np.int64)
-    seen = np.full(len(uniq), -1, dtype=np.int64)
-    order = np.arange(len(flat))
-    np.minimum.at(seen, inv, order)
-    first = seen
+    # representative positions: first occurrence of each welded vertex
+    first = np.full(len(uniq), len(flat), dtype=np.int64)
+    np.minimum.at(first, inv, np.arange(len(flat)))
     verts_out = flat[first].astype(np.float32)
     faces = inv.reshape(-1, 3).astype(np.int32)
     # drop degenerate faces

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""CLI entry point (reference `demo/run.py`):
+
+    python scripts/run_slam.py configs/replica/room_0.yaml [--key value ...]
+
+Loads the YAML config (with base_config inheritance), builds the dataset
+and SLAM system, runs tracking+mapping over the sequence, then saves the
+trajectory, mesh, checkpoint, and metrics. Dotted CLI overrides are
+supported: ``--tracker_specs.num_iterations 20``.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def parse_overrides(extra):
+    out = {}
+    i = 0
+    while i < len(extra):
+        key = extra[i].lstrip("-")
+        val = extra[i + 1]
+        for cast in (int, float):
+            try:
+                val = cast(val)
+                break
+            except ValueError:
+                continue
+        if val in ("true", "True"):
+            val = True
+        elif val in ("false", "False"):
+            val = False
+        out[key] = val
+        i += 2
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--no-mesh", action="store_true")
+    args, extra = parser.parse_known_args()
+
+    from proudslam_tpu.config import load_config, settings_from_config
+    from proudslam_tpu.data.registry import get_dataset
+    from proudslam_tpu.engine.slam import SlamSystem
+    from proudslam_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from proudslam_tpu.utils.logger import RunLogger
+    from proudslam_tpu.utils.metrics import ate_rmse
+
+    cfg = load_config(args.config, parse_overrides(extra))
+    settings = settings_from_config(cfg)
+    dataset = get_dataset(cfg)
+
+    _, rgb0, depth0, K, _ = dataset[0]
+    h, w = depth0.shape
+    slam = SlamSystem(settings, dataset.intrinsics, (h, w), seed=args.seed)
+    logger = RunLogger(cfg.get("log_dir", "./logs"),
+                       cfg.get("exp_name", "run"))
+    logger.log_config(args.config, cfg.to_dict())
+
+    start = cfg.get("tracker_specs", {}).get("start_frame", 0)
+    end = cfg.get("tracker_specs", {}).get("end_frame", -1)
+    if end <= 0:
+        end = len(dataset)
+
+    if args.resume:
+        load_checkpoint(args.resume, slam)
+        start = len(slam.frame_poses)
+        print(f"resumed at frame {start}")
+    else:
+        slam.initialize(rgb0, depth0, dataset.get_init_pose(), stamp=start)
+        start += 1
+
+    t0 = time.perf_counter()
+    for i in range(start, end):
+        _, rgb, depth, _, _ = dataset[i]
+        slam.process_frame(i, rgb, depth)
+        if i % 25 == 0:
+            fps = (i - start + 1) / (time.perf_counter() - t0)
+            print(f"frame {i}/{end}  {fps:.2f} fps  "
+                  f"voxels={int(slam.map_state.num_voxels)} kf={slam.num_kf}")
+
+    final_iter = cfg.get("mapper_specs", {}).get("final_iter", 0)
+    if final_iter:
+        slam.finalize(final_iter)
+
+    traj = slam.get_trajectory()
+    logger.log_numpy(traj, "frame_poses")
+
+    gt = getattr(dataset, "gt_pose", None)
+    if gt is None and hasattr(dataset, "poses"):
+        gt = np.stack(dataset.poses)
+    if gt is not None:
+        gt = np.asarray(gt).reshape(-1, 4, 4)[:len(traj)]
+        ate = ate_rmse(traj, gt, align=False) * 100
+        print(f"ATE RMSE: {ate:.3f} cm")
+        logger.log_metrics(end, {"ate_rmse_cm": ate})
+
+    save_checkpoint(f"{logger.ckpt_dir}/final_ckpt.npz", slam)
+
+    if not args.no_mesh:
+        from proudslam_tpu.mesher import extract_mesh
+        mesh = extract_mesh(slam.map_state, slam.decoder_params,
+                            settings.map, settings.decoder,
+                            res=cfg.get("mapper_specs", {}).get("mesh_res", 8))
+        logger.log_mesh(mesh)
+        print(f"mesh: {len(mesh.verts)} verts, {len(mesh.faces)} faces")
+
+    print(f"artifacts in {logger.dir}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
