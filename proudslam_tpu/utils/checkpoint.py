@@ -37,18 +37,23 @@ def _flatten_state(slam: "SlamSystem"):
     return leaves, treedef, pytree
 
 
+def _base(path: str) -> str:
+    return path[:-4] if path.endswith(".npz") else path
+
+
 def save_checkpoint(path: str, slam: "SlamSystem") -> None:
     leaves, _, _ = _flatten_state(slam)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    np.savez_compressed(path, **arrays)
+    np.savez_compressed(_base(path) + ".npz", **arrays)
     meta = {
         "num_kf": slam.num_kf,
         "kf_stamps": slam.kf_stamps,
         "frame_poses": [
-            (int(ref), rel.tolist()) for ref, rel in slam.frame_poses],
+            (int(ref), np.asarray(rel).tolist())
+            for ref, rel in slam.frame_poses],
         "num_leaves": len(leaves),
     }
-    with open(path + ".meta.json", "w") as f:
+    with open(_base(path) + ".meta.json", "w") as f:
         json.dump(meta, f)
 
 
@@ -56,7 +61,7 @@ def load_checkpoint(path: str, slam: "SlamSystem") -> "SlamSystem":
     """Restore state saved by :func:`save_checkpoint` into ``slam``
     (which must have been constructed with identical settings)."""
     _, treedef, _ = _flatten_state(slam)
-    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    data = np.load(_base(path) + ".npz")
     leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(data.files))]
     pytree = jax.tree_util.tree_unflatten(treedef, leaves)
     slam.map_state = pytree["map_state"]
@@ -64,8 +69,7 @@ def load_checkpoint(path: str, slam: "SlamSystem") -> "SlamSystem":
     slam.opt = pytree["opt"]
     slam.store = pytree["store"]
     slam.last_pose6 = pytree["last_pose6"]
-    meta_path = (path[:-4] if path.endswith(".npz") else path) + ".meta.json"
-    with open(meta_path) as f:
+    with open(_base(path) + ".meta.json") as f:
         meta = json.load(f)
     slam.num_kf = meta["num_kf"]
     slam.kf_stamps = list(meta["kf_stamps"])
