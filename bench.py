@@ -1,6 +1,7 @@
 """Benchmark: tracked+mapped frames/s of the full SLAM loop on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
+Progress goes to stderr.
 
 The reference publishes no numbers (BASELINE.md); the upstream Vox-Fusion
 system class runs ~2 frames/s on an RTX-3090-class GPU at the reference's
@@ -8,23 +9,71 @@ compute budget (30x1024-ray tracking iters + 10x5x1024-ray mapping iters
 per frame). vs_baseline is reported against that 2 fps anchor; the driver
 target is >= 3x (BASELINE.json).
 
-Runs at the reference's full Replica compute budget regardless of the
-synthetic input resolution (the per-frame work is ray-count-, not
-pixel-count-, driven).
+Environment notes: the first device->host transfer through the remote-TPU
+tunnel pays a one-time multi-minute initialization — it is warmed up in a
+background thread while the synthetic dataset generates (and the dataset is
+cached on disk for later runs).
 """
 
 import json
+import os
 import sys
+import threading
 import time
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_data.npz")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def load_or_make_dataset(n_frames, width, height):
+    import numpy as np
+
+    from proudslam_tpu.data.synthetic import SyntheticDataset
+
+    if os.path.exists(CACHE):
+        data = np.load(CACHE)
+        if (int(data["n"]) == n_frames and int(data["w"]) == width
+                and int(data["h"]) == height):
+            log("bench: using cached dataset")
+            ds = SyntheticDataset.__new__(SyntheticDataset)
+            ds.width, ds.height = width, height
+            ds.fx = ds.fy = 0.9 * width
+            ds.cx, ds.cy = (width - 1) / 2.0, (height - 1) / 2.0
+            ds.poses = list(data["poses"])
+            ds.frames = [(data["rgb"][i], data["depth"][i])
+                         for i in range(n_frames)]
+            return ds
+    log("bench: generating dataset...")
+    ds = SyntheticDataset(num_frames=n_frames, width=width, height=height)
+    np.savez_compressed(
+        CACHE, n=n_frames, w=width, h=height,
+        poses=np.stack(ds.poses),
+        rgb=np.stack([f[0] for f in ds.frames]),
+        depth=np.stack([f[1] for f in ds.frames]))
+    return ds
 
 
 def main():
     import numpy as np
 
+    # warm up the tunnel's device->host path concurrently with data prep
+    def _warmup():
+        import jax
+        import jax.numpy as jnp
+        t0 = time.perf_counter()
+        np.asarray(jnp.ones((8,)))
+        log(f"bench: D2H warmup done in {time.perf_counter() - t0:.0f}s")
+
+    th = threading.Thread(target=_warmup, daemon=True)
+    th.start()
+
     from proudslam_tpu.config import (
         DecoderSettings, LossSettings, MapSettings, MapperSettings,
         RenderSettings, SystemSettings, TrackerSettings)
-    from proudslam_tpu.data.synthetic import SyntheticDataset
     from proudslam_tpu.engine.slam import SlamSystem
     from proudslam_tpu.utils.metrics import ate_rmse
 
@@ -43,16 +92,22 @@ def main():
     )
 
     n_frames = 20
-    ds = SyntheticDataset(num_frames=n_frames, width=320, height=240)
+    ds = load_or_make_dataset(n_frames, 320, 240)
+    th.join()
+
     slam = SlamSystem(settings, ds.intrinsics, (ds.height, ds.width), seed=0)
 
+    t0 = time.perf_counter()
     _, rgb, depth, _, pose0 = ds[0]
     slam.initialize(rgb, depth, pose0, stamp=0)
+    log(f"bench: initialize (incl. compiles) {time.perf_counter() - t0:.0f}s")
 
     warmup = 3
+    t0 = time.perf_counter()
     for i in range(1, 1 + warmup):
         _, rgb, depth, _, _ = ds[i]
         slam.process_frame(i, rgb, depth)
+    log(f"bench: warmup frames {time.perf_counter() - t0:.0f}s")
 
     t0 = time.perf_counter()
     timed = 0
@@ -64,7 +119,7 @@ def main():
 
     fps = timed / elapsed
     est = slam.get_trajectory()
-    gt = np.stack(ds.poses)
+    gt = np.stack(ds.poses)[:len(est)]
     ate_cm = ate_rmse(est, gt, align=False) * 100
 
     result = {

@@ -86,26 +86,33 @@ class SlamSystem:
                             update_pose=update_pose,
                             update_decoder=update_decoder)
 
+        # NOTE: no jitted function may close over a device array — jax
+        # embeds captured arrays as constants by fetching them to host,
+        # which is pathologically slow through a remote-TPU tunnel. All
+        # device state is passed as arguments.
+        def _insert_fn(map_state, depth, pose6, rays_dir):
+            st = point_stride
+            d = depth[::st, ::st]
+            dirs = rays_dir[::st, ::st]
+            pts_cam = camera.backproject(dirs, d).reshape(-1, 3)
+            valid = (d > 0).reshape(-1)
+            R = se3.exp_rotation(pose6[3:6])
+            pts_world = camera.transform_points(pts_cam, R, pose6[0:3])
+            return vh.insert_points(map_state, pts_world, valid, settings.map)
+
         self._track = jax.jit(_track_fn)
         self._map = jax.jit(
             _map_fn, static_argnames=("update_pose", "update_decoder"))
-        self._insert = jax.jit(self._insert_impl)
+        self._insert_jit = jax.jit(_insert_fn)
         self._write = jax.jit(kfstate.write_frame)
 
     # ------------------------------------------------------------------
 
-    def _insert_impl(self, map_state: vh.MapState, depth: jnp.ndarray,
-                     pose6: jnp.ndarray) -> vh.MapState:
+    def _insert(self, map_state: vh.MapState, depth: jnp.ndarray,
+                pose6: jnp.ndarray) -> vh.MapState:
         """Backproject a depth map at the (refined) pose and allocate voxels
         (reference `create_voxels_pointcloud`, `mapping.py:258-295`)."""
-        st = self.point_stride
-        d = depth[::st, ::st]
-        dirs = self.rays_dir[::st, ::st]
-        pts_cam = camera.backproject(dirs, d).reshape(-1, 3)
-        valid = (d > 0).reshape(-1)
-        R = se3.exp_rotation(pose6[3:6])
-        pts_world = camera.transform_points(pts_cam, R, pose6[0:3])
-        return vh.insert_points(map_state, pts_world, valid, self.settings.map)
+        return self._insert_jit(map_state, depth, pose6, self.rays_dir)
 
     def _next_key(self) -> jax.Array:
         self._key, k = jax.random.split(self._key)

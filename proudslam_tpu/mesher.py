@@ -49,21 +49,23 @@ def grid_scores(map_state: vh.MapState, decoder_params,
     centers_all = np.asarray(
         vh.voxel_centers(map_state, map_settings))[:num]
 
-    lin = jnp.linspace(-0.5, 0.5, res) * map_settings.voxel_size
-    gx, gy, gz = jnp.meshgrid(lin, lin, lin, indexing="ij")
-    local = jnp.stack([gx, gy, gz], axis=-1).reshape(-1, 3)   # (res^3, 3)
+    lin = np.linspace(-0.5, 0.5, res) * map_settings.voxel_size
+    gx, gy, gz = np.meshgrid(lin, lin, lin, indexing="ij")
+    local = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.float32)
 
+    # map state passed as an argument — jitted functions must not close
+    # over device arrays (constant embedding fetches them D2H)
     @jax.jit
-    def decode_chunk(centers, vidx):
-        pts = centers[:, None, :] + local[None]               # (B, res^3, 3)
+    def decode_chunk(state, dec_params, centers, vidx):
+        pts = centers[:, None, :] + jnp.asarray(local)[None]  # (B, res^3, 3)
         B = centers.shape[0]
         idx = jnp.broadcast_to(vidx[:, None], (B, res ** 3)).reshape(-1)
         feats = gather_voxel_features(
             pts.reshape(-1, 3), idx,
-            vh.voxel_centers(map_state, map_settings),
-            map_state.voxel_vertex_ids, map_state.embeddings,
+            vh.voxel_centers(state, map_settings),
+            state.voxel_vertex_ids, state.embeddings,
             map_settings.voxel_size)
-        out = decoder_values(decoder_params, decoder_settings, feats)
+        out = decoder_values(dec_params, decoder_settings, feats)
         return out.reshape(B, res, res, res, 4)
 
     grids = []
@@ -74,7 +76,8 @@ def grid_scores(map_state: vh.MapState, decoder_params,
         if pad:
             c = np.concatenate([c, np.zeros((pad, 3), c.dtype)])
             vidx = np.concatenate([vidx, np.zeros((pad,), np.int32)])
-        g = np.asarray(decode_chunk(jnp.asarray(c, jnp.float32),
+        g = np.asarray(decode_chunk(map_state, decoder_params,
+                                    jnp.asarray(c, jnp.float32),
                                     jnp.asarray(vidx)))
         grids.append(g[:chunk - pad] if pad else g)
     if not grids:
@@ -95,19 +98,20 @@ def eval_vertex_colors(map_state: vh.MapState, decoder_params,
     valid = slots >= 0
 
     @jax.jit
-    def decode(pts, idx):
+    def decode(state, dec_params, pts, idx):
         feats = gather_voxel_features(
-            pts, idx, vh.voxel_centers(map_state, map_settings),
-            map_state.voxel_vertex_ids, map_state.embeddings,
+            pts, idx, vh.voxel_centers(state, map_settings),
+            state.voxel_vertex_ids, state.embeddings,
             map_settings.voxel_size)
-        return decoder_values(decoder_params, decoder_settings, feats)[:, :3]
+        return decoder_values(dec_params, decoder_settings, feats)[:, :3]
 
     colors = np.zeros((len(verts), 3), np.float32)
     idx_all = np.maximum(slots, 0)
     for i in range(0, len(verts), chunk):
         pts = jnp.asarray(verts[i:i + chunk], jnp.float32)
         idx = jnp.asarray(idx_all[i:i + chunk])
-        colors[i:i + chunk] = np.asarray(decode(pts, idx))
+        colors[i:i + chunk] = np.asarray(
+            decode(map_state, decoder_params, pts, idx))
     colors[~valid] = 0.0
     return colors
 

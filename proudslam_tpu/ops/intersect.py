@@ -3,14 +3,20 @@
 The reference traverses a flattened octree per ray with a stack-based DFS
 (`sparse_voxels/src/intersect_gpu.cu:191-270`), then sorts hits by entry
 depth and truncates (`voxel_helpers.py:557-595`). A divergent DFS is a poor
-fit for the VPU; with a capacity-bounded voxel set (~20k) a *tiled
-brute-force slab test* is bandwidth-trivial and fully vectorized: we scan
-voxel-center chunks with `lax.scan`, keeping a per-ray running top-K of hits
-ordered by entry depth. Semantics match the reference post-processing:
+fit for the VPU; with a capacity-bounded voxel set (~20k) a fully fused
+brute-force slab test is bandwidth-trivial: one (R, V) entry-depth matrix
+(XLA fuses the 3-axis slab arithmetic into its production) followed by a
+single hardware-friendly ``lax.approx_min_k`` selection of the K closest
+hits per ray. Exit depths are recomputed for just the selected voxels.
 
+Semantics match the reference post-processing:
 * slab entry depth clamped to >= 0 (`intersect_gpu.cu:82`, ``f_low = 0``);
 * hits with entry depth > max_distance dropped (`voxel_helpers.py:578`);
 * output sorted ascending by entry depth, idx == -1 for empty slots.
+
+``ray_intersect_scan`` keeps the chunked-scan exact variant (lower peak
+memory; used as the cross-check oracle, mirroring the reference's own
+octree-vs-AABB property test `src/variations/test_aabb.py`).
 """
 
 from __future__ import annotations
@@ -26,11 +32,10 @@ from proudslam_tpu.config import RenderSettings
 class Intersections(NamedTuple):
     """Per-ray sorted voxel hits (all (R, H))."""
 
-    t_near: jnp.ndarray   # entry depth (max_distance where invalid)
-    t_far: jnp.ndarray    # exit depth  (max_distance where invalid)
+    t_near: jnp.ndarray     # entry depth (max_distance where invalid)
+    t_far: jnp.ndarray      # exit depth  (max_distance where invalid)
     voxel_idx: jnp.ndarray  # voxel slot, -1 where invalid
-    # (R,) bool — ray hit at least one voxel
-    hit_mask: jnp.ndarray
+    hit_mask: jnp.ndarray   # (R,) bool — ray hit at least one voxel
 
 
 def ray_box_slab(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
@@ -57,17 +62,94 @@ def ray_box_slab(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     return t_near, t_far, hit
 
 
+def _slab_axis(o, d, c, half):
+    """Per-axis slab interval with the NaN -> no-constraint rule."""
+    inv = 1.0 / d
+    lo = (c - half - o) * inv
+    hi = (c + half - o) * inv
+    t1 = jnp.minimum(lo, hi)
+    t2 = jnp.maximum(lo, hi)
+    t1 = jnp.where(jnp.isnan(t1), -jnp.inf, t1)
+    t2 = jnp.where(jnp.isnan(t2), jnp.inf, t2)
+    return t1, t2
+
+
 def ray_intersect(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                   centers: jnp.ndarray, voxel_valid: jnp.ndarray,
                   settings: RenderSettings,
-                  chunk: int = 4096) -> Intersections:
-    """Intersect rays with all valid voxels; top-``max_hits`` by entry depth.
+                  exact: bool = False) -> Intersections:
+    """Intersect rays with all valid voxels; K closest hits, depth-sorted.
 
     Args:
       rays_o, rays_d: (R, 3) world-space rays (directions unnormalized).
       centers: (V, 3) voxel centers (padded slots allowed).
       voxel_valid: (V,) bool — live voxel slots.
+      exact: use exact ``lax.top_k`` selection instead of the TPU-fast
+        ``lax.approx_min_k`` (recall ~0.95+; the reference itself truncates
+        hits arbitrarily at 50 in DFS order, `voxel_helpers.py:561`).
     """
+    H = settings.max_hits
+    half = settings.voxel_size * 0.5
+    BIG = jnp.float32(settings.max_depth_sentinel)
+
+    # fused entry-depth matrix, axis at a time (keeps peak memory at one
+    # (R, V) f32 array; XLA fuses the arithmetic into its production)
+    tn = None
+    tf = None
+    for a in range(3):
+        t1, t2 = _slab_axis(rays_o[:, a:a + 1], rays_d[:, a:a + 1],
+                            centers[None, :, a], half)
+        tn = t1 if tn is None else jnp.maximum(tn, t1)
+        tf = t2 if tf is None else jnp.minimum(tf, t2)
+    tn = jnp.maximum(tn, 0.0)
+    hit = (tn <= tf) & voxel_valid[None, :] & (tn <= settings.max_distance)
+    score = jnp.where(hit, tn, BIG)                       # (R, V)
+
+    V = centers.shape[0]
+    if V <= H:  # selection needs k < n; pad with always-invalid columns
+        score = jnp.pad(score, ((0, 0), (0, H + 1 - V)),
+                        constant_values=BIG)
+    if exact:
+        neg, idx = jax.lax.top_k(-score, H)
+        t_near = -neg
+    else:
+        t_near, idx = jax.lax.approx_min_k(
+            score, H, recall_target=0.95, aggregate_to_topk=True)
+    idx = jnp.minimum(idx.astype(jnp.int32), V - 1)
+
+    # recompute exit depths for the selected voxels only
+    sel_centers = centers[idx]                            # (R, H, 3)
+    _, tf2, _ = ray_box_slab_pairs(rays_o, rays_d, sel_centers, half)
+
+    invalid = t_near >= BIG
+    voxel_idx = jnp.where(invalid, -1, idx)
+    t_near = jnp.where(invalid, settings.max_distance, t_near)
+    t_far = jnp.where(invalid, settings.max_distance, tf2)
+    hit_mask = jnp.any(~invalid, axis=-1)
+    return Intersections(t_near=t_near, t_far=t_far, voxel_idx=voxel_idx,
+                         hit_mask=hit_mask)
+
+
+def ray_box_slab_pairs(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                       centers: jnp.ndarray, half: float):
+    """Slab test for per-ray candidate boxes: rays (R, 3) x boxes (R, H, 3)."""
+    inv_d = 1.0 / rays_d[:, None, :]
+    lo = (centers - half - rays_o[:, None, :]) * inv_d
+    hi = (centers + half - rays_o[:, None, :]) * inv_d
+    t1 = jnp.minimum(lo, hi)
+    t2 = jnp.maximum(lo, hi)
+    t1 = jnp.where(jnp.isnan(t1), -jnp.inf, t1)
+    t2 = jnp.where(jnp.isnan(t2), jnp.inf, t2)
+    t_near = jnp.maximum(jnp.max(t1, axis=-1), 0.0)
+    t_far = jnp.min(t2, axis=-1)
+    return t_near, t_far, t_near <= t_far
+
+
+def ray_intersect_scan(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                       centers: jnp.ndarray, voxel_valid: jnp.ndarray,
+                       settings: RenderSettings,
+                       chunk: int = 4096) -> Intersections:
+    """Exact chunked-scan variant (running per-ray top-K merge)."""
     R = rays_o.shape[0]
     V = centers.shape[0]
     H = settings.max_hits
@@ -83,9 +165,9 @@ def ray_intersect(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     base_idx = (jnp.arange(num_chunks, dtype=jnp.int32) * chunk)
 
     init = (
-        jnp.full((R, H), BIG, dtype=jnp.float32),   # best t_near
-        jnp.full((R, H), BIG, dtype=jnp.float32),   # best t_far
-        jnp.full((R, H), -1, dtype=jnp.int32),      # best idx
+        jnp.full((R, H), BIG, dtype=jnp.float32),
+        jnp.full((R, H), BIG, dtype=jnp.float32),
+        jnp.full((R, H), -1, dtype=jnp.int32),
     )
 
     def scan_body(carry, inputs):
@@ -97,7 +179,6 @@ def ray_intersect(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         tf = jnp.where(hit, tf, BIG)
         idx = jnp.where(
             hit, c_base + jnp.arange(chunk, dtype=jnp.int32)[None, :], -1)
-        # merge with running best-H (smallest t_near)
         cand_tn = jnp.concatenate([best_tn, tn], axis=1)
         cand_tf = jnp.concatenate([best_tf, tf], axis=1)
         cand_idx = jnp.concatenate([best_idx, idx], axis=1)

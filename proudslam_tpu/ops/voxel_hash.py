@@ -79,6 +79,66 @@ def init_map_state(settings: MapSettings, key: jax.Array) -> MapState:
     )
 
 
+def build_map_state_numpy(coords, settings: MapSettings,
+                          seed: int = 0) -> MapState:
+    """Construct a MapState for given integer voxel coords in pure numpy.
+
+    Semantically equivalent to ``init_map_state`` + ``insert_points`` but
+    with zero device compute — used by tests, probes and the driver entry
+    point, where triggering device compiles (or D2H constant fetches) for
+    setup is wasteful. Cell-id assignment order may differ from the
+    incremental path (ids are stable but arbitrary, which is all the
+    renderer requires).
+    """
+    import numpy as np
+
+    coords = np.unique(np.asarray(coords, np.int64), axis=0)
+    n = len(coords)
+    assert n <= settings.voxel_capacity
+    bits = settings.coord_bits
+    bias = 1 << (bits - 1)
+
+    def pack(c):
+        b = c + bias
+        return ((b[..., 0] << (2 * bits)) | (b[..., 1] << bits)
+                | b[..., 2]).astype(np.int64)
+
+    corner = (coords[:, None, :]
+              + np.asarray(CORNER_OFFSETS, np.int64)).reshape(-1, 3)
+    cell_coords = np.unique(corner, axis=0)
+    m = len(cell_coords)
+    assert m <= settings.num_embeddings
+    cell_keys = pack(cell_coords).astype(np.int32)   # unique() output sorted
+    cell_ids = np.arange(m, dtype=np.int32)
+
+    vox_keys = pack(coords).astype(np.int32)
+    corner_keys = pack(corner).reshape(n, 8).astype(np.int32)
+    pos = np.searchsorted(cell_keys, corner_keys.reshape(-1))
+    vvids = cell_ids[pos].reshape(n, 8)
+
+    C = settings.num_embeddings
+    V = settings.voxel_capacity
+    ck = np.full((C,), np.int32(2**31 - 1), np.int32)
+    ck[:m] = cell_keys
+    ci = np.zeros((C,), np.int32)
+    ci[:m] = cell_ids
+    cv = np.full((C,), -1, np.int32)
+    vpos = np.searchsorted(cell_keys, vox_keys)
+    cv[vpos] = np.arange(n, dtype=np.int32)
+    vk = np.full((V,), np.int32(2**31 - 1), np.int32)
+    vk[:n] = vox_keys
+    vv = np.zeros((V, 8), np.int32)
+    vv[:n] = vvids
+    rng = np.random.default_rng(seed)
+    emb = (0.01 * rng.standard_normal(
+        (C, settings.embed_dim))).astype(np.float32)
+    return MapState(
+        cell_keys=jnp.asarray(ck), cell_ids=jnp.asarray(ci),
+        cell_vslot=jnp.asarray(cv), num_cells=jnp.int32(m),
+        voxel_keys=jnp.asarray(vk), voxel_vertex_ids=jnp.asarray(vv),
+        num_voxels=jnp.int32(n), embeddings=jnp.asarray(emb))
+
+
 # ---------------------------------------------------------------------------
 # coordinate packing
 # ---------------------------------------------------------------------------

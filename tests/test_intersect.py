@@ -2,7 +2,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from proudslam_tpu.config import RenderSettings
-from proudslam_tpu.ops.intersect import ray_box_slab, ray_intersect
+from proudslam_tpu.ops.intersect import (
+    ray_box_slab, ray_intersect, ray_intersect_scan)
 
 
 SET = RenderSettings(voxel_size=0.2, step_size=0.02, max_hits=8,
@@ -45,7 +46,7 @@ def test_intersect_sorted_by_depth():
     valid = jnp.ones((3,), bool)
     o = jnp.zeros((1, 3))
     d = jnp.array([[0.0, 0.0, 1.0]])
-    out = ray_intersect(o, d, centers, valid, SET, chunk=2)
+    out = ray_intersect(o, d, centers, valid, SET)
     idx = np.asarray(out.voxel_idx[0])
     assert list(idx[:3]) == [1, 2, 0]
     tn = np.asarray(out.t_near[0])
@@ -81,7 +82,7 @@ def test_intersect_matches_bruteforce_reference():
     d = rng.normal(size=(16, 3)).astype(np.float32)
     out = ray_intersect(jnp.asarray(o), jnp.asarray(d),
                         jnp.asarray(centers, jnp.float32),
-                        jnp.ones((V,), bool), SET, chunk=16)
+                        jnp.ones((V,), bool), SET, exact=True)
     # brute force in numpy
     half = 0.1
     for r in range(16):
@@ -100,3 +101,25 @@ def test_intersect_matches_bruteforce_reference():
         got_tn = np.asarray(out.t_near[r])[:len(expect)]
         np.testing.assert_allclose(
             got_tn, [h[0] for h in expect], atol=1e-4)
+
+
+def test_scan_variant_matches_default():
+    """The chunked-scan oracle and the fused approx_min_k path agree
+    (the analog of the reference's octree-vs-AABB check, `test_aabb.py`)."""
+    rng = np.random.default_rng(3)
+    centers = (rng.integers(-6, 6, size=(200, 3)) + 0.5) * 0.2
+    centers = np.unique(centers, axis=0).astype(np.float32)
+    V = centers.shape[0]
+    o = rng.uniform(-1.0, 1.0, size=(32, 3)).astype(np.float32)
+    d = rng.normal(size=(32, 3)).astype(np.float32)
+    a = ray_intersect(jnp.asarray(o), jnp.asarray(d), jnp.asarray(centers),
+                      jnp.ones((V,), bool), SET)
+    b = ray_intersect_scan(jnp.asarray(o), jnp.asarray(d),
+                           jnp.asarray(centers), jnp.ones((V,), bool), SET,
+                           chunk=64)
+    np.testing.assert_array_equal(np.asarray(a.voxel_idx),
+                                  np.asarray(b.voxel_idx))
+    np.testing.assert_allclose(np.asarray(a.t_near), np.asarray(b.t_near),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.t_far), np.asarray(b.t_far),
+                               atol=1e-5)
