@@ -13,6 +13,7 @@ j's offset bit pattern = (j>>2, (j>>1)&1, j&1).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # (8, 3) float corner bits, same order as voxel_hash.CORNER_OFFSETS
@@ -60,3 +61,50 @@ def gather_voxel_features(sampled_xyz: jnp.ndarray,
     p = (sampled_xyz - centers) / voxel_size + 0.5
     w = trilinear_weights(p)                           # (N, 8)
     return jnp.sum(w[..., None] * corner_feats, axis=-2)
+
+
+def gather_ray_features(sampled_xyz: jnp.ndarray,
+                        sample_bins: jnp.ndarray,
+                        hit_voxel_idx: jnp.ndarray,
+                        voxel_centers: jnp.ndarray,
+                        voxel_vertex_ids: jnp.ndarray,
+                        embeddings: jnp.ndarray,
+                        voxel_size: float) -> jnp.ndarray:
+    """Ray-structured variant of :func:`gather_voxel_features`.
+
+    Exploits the render topology: a ray's samples reference at most H
+    distinct voxels (its intersection hit slots). Corner ids / embeddings /
+    centers are gathered **per (ray, hit-slot)** — R*H*8 rows instead of
+    R*S*8 — and broadcast to samples with a one-hot contraction over the
+    small H axis. Autodiff of the contraction then accumulates embedding
+    gradients per hit slot, shrinking the backward scatter-add by S/H (~4x),
+    which profiling shows is the dominant mapping-step cost on TPU.
+
+    Args:
+      sampled_xyz: (R, S, 3) world positions (differentiable).
+      sample_bins: (R, S) int — hit-slot index of each sample.
+      hit_voxel_idx: (R, H) voxel slots from the intersection (-1 invalid).
+      voxel_centers: (V, 3); voxel_vertex_ids: (V, 8); embeddings: (E, D).
+    Returns:
+      (R, S, D) interpolated features.
+    """
+    R, S, _ = sampled_xyz.shape
+    H = hit_voxel_idx.shape[1]
+    D = embeddings.shape[1]
+    vidx = jnp.maximum(hit_voxel_idx, 0)               # (R, H)
+    cids = voxel_vertex_ids[vidx]                      # (R, H, 8)
+    emb_rb = embeddings[cids].reshape(R, H, 8 * D)     # (R, H, 8D)
+    centers_rb = voxel_centers[vidx]                   # (R, H, 3)
+
+    onehot = (sample_bins[:, :, None]
+              == jnp.arange(H, dtype=jnp.int32)).astype(jnp.float32)
+    # one-hot weights are exact; 'highest' keeps f32 mantissa on the MXU
+    f8 = jnp.einsum("rsh,rhk->rsk", onehot, emb_rb,
+                    precision=jax.lax.Precision.HIGHEST)
+    f8 = f8.reshape(R, S, 8, D)
+    center = jnp.einsum("rsh,rhc->rsc", onehot, centers_rb,
+                        precision=jax.lax.Precision.HIGHEST)
+
+    p = (sampled_xyz - center) / voxel_size + 0.5      # (R, S, 3)
+    w = trilinear_weights(p.reshape(R * S, 3)).reshape(R, S, 8)
+    return jnp.sum(w[..., None] * f8, axis=-2)

@@ -117,8 +117,10 @@ def ray_intersect(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
             score, H, recall_target=0.95, aggregate_to_topk=True)
     idx = jnp.minimum(idx.astype(jnp.int32), V - 1)
 
-    # recompute exit depths for the selected voxels only
-    sel_centers = centers[idx]                            # (R, H, 3)
+    # recompute exit depths for the selected voxels only. Three 1-D gathers
+    # (one per axis) beat a (V, 3) row gather on TPU.
+    sel_centers = jnp.stack(
+        [centers[:, a][idx] for a in range(3)], axis=-1)  # (R, H, 3)
     _, tf2, _ = ray_box_slab_pairs(rays_o, rays_d, sel_centers, half)
 
     invalid = t_near >= BIG

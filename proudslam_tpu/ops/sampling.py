@@ -34,6 +34,7 @@ class RaySamples(NamedTuple):
     depth: jnp.ndarray      # midpoint depth (sentinel where invalid)
     dist: jnp.ndarray       # distance to previous sample (0 where invalid)
     voxel_idx: jnp.ndarray  # voxel slot (-1 where invalid)
+    bin: jnp.ndarray        # hit-slot index in [0, H) (undefined if invalid)
 
 
 def sample_rays_in_segments(inter: Intersections, settings: RenderSettings,
@@ -75,19 +76,29 @@ def sample_rays_in_segments(inter: Intersections, settings: RenderSettings,
     bound_valid = valid_bin & (seg_len > 0)
     bound_arc = jnp.where(bound_valid, cum, jnp.inf)             # (R, H)
 
-    arcs = jnp.concatenate([jitter_arc, bound_arc], axis=-1)     # (R, S)
-    order = jnp.argsort(arcs, axis=-1)
-    arcs = jnp.take_along_axis(arcs, order, axis=-1)
-    event_valid = jnp.isfinite(arcs)
+    raw = jnp.concatenate([jitter_arc, bound_arc], axis=-1)      # (R, S)
+    # no payload follows the events through the sort — every downstream
+    # quantity (bin, depth) is re-derived from the sorted arc values — so a
+    # plain value sort suffices (measurably faster than argsort+gather or
+    # rank-matrix permutation on TPU).
+    arcs = jnp.sort(jnp.where(jnp.isfinite(raw), raw, sentinel), axis=-1)
+    event_valid = arcs < sentinel
 
-    # map arc -> (bin, depth). side='left' puts a boundary event (arc ==
-    # cum[j]) into bin j; jittered events fall strictly inside their bin.
-    bins = jax.vmap(
-        lambda c, a: jnp.searchsorted(c, a, side="left"))(cum, arcs)
+    # map arc -> bin: count of segment ends strictly below the arc — puts a
+    # boundary event (arc == cum[j]) into bin j, jittered events into their
+    # enclosing bin (equivalent to searchsorted side='left').
+    bins = jnp.sum(cum[:, None, :] < arcs[:, :, None], axis=-1,
+                   dtype=jnp.int32)                              # (R, S)
     bins = jnp.clip(bins, 0, H - 1)
-    bin_tnear = jnp.take_along_axis(inter.t_near, bins, axis=-1)
-    bin_lo = jnp.take_along_axis(cum_lo, bins, axis=-1)
-    bin_idx = jnp.take_along_axis(inter.voxel_idx, bins, axis=-1)
+    # per-sample bin attributes via a one-hot masked sum over the (small) H
+    # axis — pure fused elementwise on the VPU; row gathers are slow on TPU
+    onehot = bins[:, :, None] == jnp.arange(H, dtype=jnp.int32)  # (R, S, H)
+    bin_tnear = jnp.sum(
+        jnp.where(onehot, inter.t_near[:, None, :], 0.0), axis=-1)
+    bin_lo = jnp.sum(jnp.where(onehot, cum_lo[:, None, :], 0.0), axis=-1)
+    bin_idx = jnp.sum(
+        jnp.where(onehot, inter.voxel_idx[:, None, :], 0), axis=-1,
+        dtype=jnp.int32)
 
     safe_arcs = jnp.where(event_valid, arcs, 0.0)
     z = bin_tnear + (safe_arcs - bin_lo)
@@ -106,11 +117,16 @@ def sample_rays_in_segments(inter: Intersections, settings: RenderSettings,
         depth=jnp.where(valid, depth, sentinel),
         dist=jnp.where(valid, dist, 0.0),
         voxel_idx=jnp.where(valid, bin_idx, -1),
+        bin=jnp.where(valid, bins, 0),
     )
 
 
 def gumbel_sample_pixels(key: jax.Array, logp: jnp.ndarray, num: int) -> jnp.ndarray:
     """Top-k Gumbel sampling without replacement (reference `sample_util.py:4-20`).
+
+    Selection uses the TPU-fast ``approx_max_k``: the perturbed-key top-k is
+    itself a random draw, so approximate recall only negligibly perturbs the
+    (already uniform) sampling distribution.
 
     Args:
       logp: (N,) log-probabilities (uniform over valid pixels in practice).
@@ -119,7 +135,7 @@ def gumbel_sample_pixels(key: jax.Array, logp: jnp.ndarray, num: int) -> jnp.nda
     """
     u = jax.random.uniform(key, logp.shape)
     gumbel = -jnp.log(-jnp.log(u + 1e-7) + 1e-7)
-    _, idx = jax.lax.top_k(logp + gumbel, num)
+    _, idx = jax.lax.approx_max_k(logp + gumbel, num)
     return idx.astype(jnp.int32)
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from proudslam_tpu.config import DecoderSettings, RenderSettings
 from proudslam_tpu.models.decoder import decoder_values
 from proudslam_tpu.ops.intersect import ray_intersect
-from proudslam_tpu.ops.interp import gather_voxel_features
+from proudslam_tpu.ops.interp import gather_ray_features, gather_voxel_features
 from proudslam_tpu.ops.sampling import RaySamples, sample_rays_in_segments
 
 
@@ -82,13 +82,15 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     # marks them non-diff, voxel_helpers.py:364-366)
     z_vals = jax.lax.stop_gradient(samples.depth)          # (R, S)
     idx = jax.lax.stop_gradient(samples.voxel_idx)
+    bins = jax.lax.stop_gradient(samples.bin)
     valid = idx >= 0
 
     sampled_xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     R, S = z_vals.shape
-    feats = gather_voxel_features(
-        sampled_xyz.reshape(R * S, 3), idx.reshape(R * S),
-        voxel_centers, voxel_vertex_ids, embeddings, settings.voxel_size)
+    feats = gather_ray_features(
+        sampled_xyz, bins, inter.voxel_idx,
+        voxel_centers, voxel_vertex_ids, embeddings,
+        settings.voxel_size).reshape(R * S, -1)
 
     out = decoder_values(decoder_params, decoder_settings, feats)
     color = out[:, :3].reshape(R, S, 3)
