@@ -90,6 +90,11 @@ class SlamSystem:
         # embeds captured arrays as constants by fetching them to host,
         # which is pathologically slow through a remote-TPU tunnel. All
         # device state is passed as arguments.
+        def _rel_pose_fn(poses, ref, slot):
+            ref_mat = se3.matrix_from_tangent(poses[ref])
+            mat = se3.matrix_from_tangent(poses[slot])
+            return jnp.linalg.inv(ref_mat) @ mat
+
         def _insert_fn(map_state, depth, pose6, rays_dir):
             st = point_stride
             d = depth[::st, ::st]
@@ -105,6 +110,7 @@ class SlamSystem:
             _map_fn, static_argnames=("update_pose", "update_decoder"))
         self._insert_jit = jax.jit(_insert_fn)
         self._write = jax.jit(kfstate.write_frame)
+        self._rel_pose = jax.jit(_rel_pose_fn)
 
     # ------------------------------------------------------------------
 
@@ -136,12 +142,13 @@ class SlamSystem:
         return (jnp.asarray(sel[:n_slots], dtype=jnp.int32),
                 jnp.asarray(valid[:n_slots], dtype=bool))
 
-    def _append_trajectory(self, pose6_np: np.ndarray):
+    def _append_trajectory(self, slot: int):
+        """Record (ref keyframe, relative pose) — the relative transform is
+        computed on device and fetched lazily (device->host transfers per
+        frame are expensive through a remote-TPU tunnel)."""
         ref = max(self.num_kf - 1, 0)
-        ref_mat = np.asarray(
-            se3.matrix_from_tangent(self.store.poses[ref]))
-        mat = np.asarray(se3.matrix_from_tangent(jnp.asarray(pose6_np)))
-        rel = np.linalg.inv(ref_mat) @ mat
+        rel = self._rel_pose(self.store.poses, jnp.int32(ref),
+                             jnp.int32(slot))
         self.frame_poses.append((ref, rel))
 
     # ------------------------------------------------------------------
@@ -174,11 +181,14 @@ class SlamSystem:
             self.map_state, self.decoder_params = res.map_state, res.decoder_params
             self.store, self.opt = res.store, res.opt
         self.last_pose6 = pose6
-        self._append_trajectory(np.asarray(pose6))
+        self._append_trajectory(0)
 
-    def process_frame(self, stamp: int, rgb: np.ndarray, depth: np.ndarray
-                      ) -> np.ndarray:
-        """Track + map one frame; returns the refined 4x4 world pose."""
+    def process_frame(self, stamp: int, rgb: np.ndarray, depth: np.ndarray,
+                      return_pose: bool = False):
+        """Track + map one frame.
+
+        Returns the refined 4x4 world pose (numpy) if ``return_pose`` —
+        otherwise None, avoiding a per-frame device->host transfer."""
         rgb_d = jnp.asarray(rgb, jnp.float32)
         depth_d = jnp.asarray(depth, jnp.float32)
 
@@ -186,11 +196,10 @@ class SlamSystem:
             self.map_state, self.decoder_params, self.last_pose6,
             self.rays_dir, rgb_d, depth_d, self._next_key())
 
-        slot = jnp.int32(min(self.num_kf,
-                             self.settings.mapper.max_keyframes - 1))
+        slot = min(self.num_kf, self.settings.mapper.max_keyframes - 1)
         self.store = self._write(
-            self.store, slot, rgb_d, depth_d, jnp.int32(stamp), result.pose,
-            result.adam_m, result.adam_v, result.adam_t)
+            self.store, jnp.int32(slot), rgb_d, depth_d, jnp.int32(stamp),
+            result.pose, result.adam_m, result.adam_v, result.adam_t)
 
         sel, valid = self._select_window()
         res = self._map(self.map_state, self.decoder_params, self.store,
@@ -208,14 +217,15 @@ class SlamSystem:
             self.num_kf += 1
             self.kf_stamps.append(stamp)
 
-        refined_np = np.asarray(refined)
-        self._append_trajectory(refined_np)
+        self._append_trajectory(slot)
         # the tracker continues from the BA-refined pose (reference keeps
         # last_frame whose pose object was refined in-place by BA only for
         # the mapper's copy; the tracker uses its own — we pick the refined
         # one, which is strictly fresher)
         self.last_pose6 = refined
-        return np.asarray(se3.matrix_from_tangent(jnp.asarray(refined_np)))
+        if return_pose:
+            return np.asarray(se3.matrix_from_tangent(refined))
+        return None
 
     def finalize(self, final_rounds: int = 0):
         """Optional final refinement with frozen poses/decoder
@@ -231,10 +241,14 @@ class SlamSystem:
 
     def get_trajectory(self) -> np.ndarray:
         """(N, 4, 4) world poses recomposed with final keyframe poses
-        (reference `get_updated_poses`, `mapping.py:410-419`)."""
+        (reference `get_updated_poses`, `mapping.py:410-419`).
+
+        Relative poses live on device during the run; this performs one
+        batched device->host fetch."""
         kf_mats = np.asarray(jax.vmap(se3.matrix_from_tangent)(
             self.store.poses))
-        out = []
-        for ref, rel in self.frame_poses:
-            out.append(kf_mats[ref] @ rel)
-        return np.stack(out)
+        rels = np.asarray(jnp.stack(
+            [jnp.asarray(rel) for _, rel in self.frame_poses]))
+        return np.stack([
+            kf_mats[ref] @ rels[i]
+            for i, (ref, _) in enumerate(self.frame_poses)])
