@@ -76,6 +76,9 @@ def main():
         slam.initialize(rgb0, depth0, dataset.get_init_pose(), stamp=start)
         start += 1
 
+    render_freq = cfg.get("debug_args", {}).get("render_freq", 0)
+    render_res = cfg.get("debug_args", {}).get("render_res", [200, 160])
+
     t0 = time.perf_counter()
     for i in range(start, end):
         _, rgb, depth, _, _ = dataset[i]
@@ -84,6 +87,23 @@ def main():
             fps = (i - start + 1) / (time.perf_counter() - t0)
             print(f"frame {i}/{end}  {fps:.2f} fps  "
                   f"voxels={int(slam.map_state.num_voxels)} kf={slam.num_kf}")
+        if render_freq > 0 and (i + 1) % render_freq == 0:
+            # rendered-vs-gt panel (reference `render_debug_images`,
+            # tracking.py:161-215)
+            from proudslam_tpu.render.preview import render_preview
+            import numpy as _np
+            from PIL import Image as _Image
+            w_r, h_r = render_res
+            prgb, pdepth = render_preview(
+                slam.map_state, slam.decoder_params, slam.last_pose6,
+                settings, w_r, h_r, dataset.intrinsics,
+                (depth.shape[1], depth.shape[0]))
+            gt_rgb = _np.asarray(_Image.fromarray(
+                (_np.asarray(rgb) * 255).astype("uint8")).resize(
+                    (w_r, h_r))) / 255.0
+            gt_depth = _np.asarray(_Image.fromarray(
+                _np.asarray(depth)).resize((w_r, h_r)))
+            logger.log_images(i, gt_rgb, gt_depth, prgb, pdepth)
 
     final_iter = cfg.get("mapper_specs", {}).get("final_iter", 0)
     if final_iter:
