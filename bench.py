@@ -102,11 +102,14 @@ def main():
     slam.initialize(rgb, depth, pose0, stamp=0)
     log(f"bench: initialize (incl. compiles) {time.perf_counter() - t0:.0f}s")
 
+    import jax
+
     warmup = 3
     t0 = time.perf_counter()
     for i in range(1, 1 + warmup):
         _, rgb, depth, _, _ = ds[i]
         slam.process_frame(i, rgb, depth)
+    jax.block_until_ready(slam.map_state.embeddings)
     log(f"bench: warmup frames {time.perf_counter() - t0:.0f}s")
 
     t0 = time.perf_counter()
@@ -115,6 +118,8 @@ def main():
         _, rgb, depth, _, _ = ds[i]
         slam.process_frame(i, rgb, depth)
         timed += 1
+    # all work is dispatched asynchronously; include completion in the time
+    jax.block_until_ready(slam.map_state.embeddings)
     elapsed = time.perf_counter() - t0
 
     fps = timed / elapsed

@@ -79,9 +79,6 @@ def map_step(map_state: vh.MapState, decoder_params,
     Wsel = sel_idx.shape[0]
     SJ = rnd.max_samples - rnd.max_hits
 
-    centers = vh.voxel_centers(map_state, settings.map)
-    vmask = vh.voxel_valid_mask(map_state)
-
     H, W = store.depth.shape[1:3]
     dirs_flat = rays_dir.reshape(H * W, 3)
     sel_rgb = store.rgb[sel_idx].reshape(Wsel, H * W, 3)
@@ -100,7 +97,7 @@ def map_step(map_state: vh.MapState, decoder_params,
             (poses[:, 0:3] + origin_shift)[:, None, :], world_d.shape)
         outputs = render_rays(
             world_o.reshape(-1, 3), world_d.reshape(-1, 3),
-            centers, vmask, map_state.voxel_vertex_ids, embeddings,
+            map_state, embeddings,
             dec_params, settings.decoder, rnd, noise.reshape(-1, SJ))
         loss, _ = compute_loss(
             outputs, gt_c.reshape(-1, 3), gt_d.reshape(-1), settings.loss,

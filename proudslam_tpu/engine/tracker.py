@@ -53,9 +53,6 @@ def track_frame(map_state: vh.MapState, decoder_params,
     n_rays = trk.n_rays
     SJ = rnd.max_samples - rnd.max_hits
 
-    centers = vh.voxel_centers(map_state, settings.map)
-    vmask = vh.voxel_valid_mask(map_state)
-
     dirs_flat = rays_dir.reshape(-1, 3)
     rgb_flat = rgb.reshape(-1, 3)
     depth_flat = depth.reshape(-1)
@@ -66,8 +63,7 @@ def track_frame(map_state: vh.MapState, decoder_params,
         world_d = dirs @ R.T
         world_o = jnp.broadcast_to(pose6[0:3], world_d.shape)
         outputs = render_rays(
-            world_o, world_d, centers, vmask,
-            map_state.voxel_vertex_ids, map_state.embeddings,
+            world_o, world_d, map_state, map_state.embeddings,
             decoder_params, settings.decoder, rnd, noise)
         loss, aux = compute_loss(
             outputs, gt_c, gt_d, settings.loss,

@@ -66,7 +66,7 @@ def gather_voxel_features(sampled_xyz: jnp.ndarray,
 def gather_ray_features(sampled_xyz: jnp.ndarray,
                         sample_bins: jnp.ndarray,
                         hit_voxel_idx: jnp.ndarray,
-                        voxel_centers: jnp.ndarray,
+                        voxel_keys: jnp.ndarray,
                         voxel_vertex_ids: jnp.ndarray,
                         embeddings: jnp.ndarray,
                         voxel_size: float) -> jnp.ndarray:
@@ -84,17 +84,23 @@ def gather_ray_features(sampled_xyz: jnp.ndarray,
       sampled_xyz: (R, S, 3) world positions (differentiable).
       sample_bins: (R, S) int — hit-slot index of each sample.
       hit_voxel_idx: (R, H) voxel slots from the intersection (-1 invalid).
-      voxel_centers: (V, 3); voxel_vertex_ids: (V, 8); embeddings: (E, D).
+      voxel_keys: (V,) packed int32 grid coords (see ops/voxel_hash) —
+        voxel centers are reconstructed from one integer gather + bit
+        unpacking, which beats three float row-gathers on TPU.
+      voxel_vertex_ids: (V, 8); embeddings: (E, D).
     Returns:
       (R, S, D) interpolated features.
     """
+    from proudslam_tpu.ops.voxel_hash import unpack_key
+
     R, S, _ = sampled_xyz.shape
     H = hit_voxel_idx.shape[1]
     D = embeddings.shape[1]
     vidx = jnp.maximum(hit_voxel_idx, 0)               # (R, H)
     cids = voxel_vertex_ids[vidx]                      # (R, H, 8)
     emb_rb = embeddings[cids].reshape(R, H, 8 * D)     # (R, H, 8D)
-    centers_rb = voxel_centers[vidx]                   # (R, H, 3)
+    keys_rb = voxel_keys[vidx]                         # (R, H) int32
+    centers_rb = (unpack_key(keys_rb).astype(jnp.float32) + 0.5) * voxel_size
 
     onehot = (sample_bins[:, :, None]
               == jnp.arange(H, dtype=jnp.int32)).astype(jnp.float32)

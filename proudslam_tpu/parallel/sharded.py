@@ -92,9 +92,6 @@ def make_sharded_ba_step(mesh: Mesh, settings: SystemSettings):
         embeddings = _constrain(map_state.embeddings, mesh, P("mp", None))
         dec_params = shard_params(dec_params)
 
-        centers = vh.voxel_centers(map_state, settings.map)
-        vmask = vh.voxel_valid_mask(map_state)
-
         def loss_fn(embeddings, dec_params, poses):
             R = se3.exp_rotation(poses[:, 3:6])
             world_d = jnp.einsum("fnd,fed->fne", dirs, R).reshape(-1, 3)
@@ -103,8 +100,7 @@ def make_sharded_ba_step(mesh: Mesh, settings: SystemSettings):
             world_d = _constrain(world_d, mesh, P("dp", None))
             world_o = _constrain(world_o, mesh, P("dp", None))
             outputs = render_rays(
-                world_o, world_d, centers, vmask,
-                map_state.voxel_vertex_ids, embeddings,
+                world_o, world_d, map_state, embeddings,
                 dec_params, settings.decoder, rnd, noise.reshape(-1, SJ))
             loss, _ = compute_loss(
                 outputs, gt_c.reshape(-1, 3), gt_d.reshape(-1),

@@ -44,9 +44,8 @@ def render_preview(map_state: vh.MapState, decoder_params,
         world_d = d @ R.T
         world_o = jnp.broadcast_to(pose6[0:3], world_d.shape)
         out = render_rays(
-            world_o, world_d, vh.voxel_centers(state, settings.map),
-            vh.voxel_valid_mask(state), state.voxel_vertex_ids,
-            state.embeddings, dec_params, settings.decoder, rs, noise)
+            world_o, world_d, state, state.embeddings,
+            dec_params, settings.decoder, rs, noise)
         hit = out.hit_mask
         return (jnp.where(hit[:, None], out.color, 0.0),
                 jnp.where(hit, out.depth, 0.0))

@@ -62,8 +62,7 @@ def sdf_to_weights(sdf: jnp.ndarray, z_vals: jnp.ndarray,
 
 
 def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
-                voxel_centers: jnp.ndarray, voxel_valid: jnp.ndarray,
-                voxel_vertex_ids: jnp.ndarray, embeddings: jnp.ndarray,
+                map_state, embeddings: jnp.ndarray,
                 decoder_params, decoder_settings: DecoderSettings,
                 settings: RenderSettings, noise: jnp.ndarray,
                 ) -> RenderOutputs:
@@ -72,10 +71,19 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     Args:
       rays_o, rays_d: (R, 3) world rays; directions unnormalized so depth
         integrates camera-plane z (reference convention).
+      map_state: ops.voxel_hash.MapState (geometry + vertex topology).
+      embeddings: (E, D) vertex embedding table — passed separately so the
+        mapper can differentiate w.r.t. it (usually map_state.embeddings).
       noise: (R, max_samples - max_hits) stratification uniforms.
     """
-    inter = ray_intersect(
-        rays_o, rays_d, voxel_centers, voxel_valid, settings)
+    from proudslam_tpu.ops.voxel_hash import unpack_key
+
+    V = map_state.voxel_keys.shape[0]
+    centers = (unpack_key(map_state.voxel_keys).astype(jnp.float32)
+               + 0.5) * settings.voxel_size
+    voxel_valid = jnp.arange(V, dtype=jnp.int32) < map_state.num_voxels
+
+    inter = ray_intersect(rays_o, rays_d, centers, voxel_valid, settings)
     samples: RaySamples = sample_rays_in_segments(inter, settings, noise)
 
     # depths / indices are non-differentiable w.r.t. pose (reference
@@ -89,7 +97,7 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     R, S = z_vals.shape
     feats = gather_ray_features(
         sampled_xyz, bins, inter.voxel_idx,
-        voxel_centers, voxel_vertex_ids, embeddings,
+        map_state.voxel_keys, map_state.voxel_vertex_ids, embeddings,
         settings.voxel_size).reshape(R * S, -1)
 
     out = decoder_values(decoder_params, decoder_settings, feats)

@@ -36,9 +36,7 @@ def _render(state, params, rays_o, rays_d, key=0):
         jax.random.PRNGKey(key),
         (rays_o.shape[0], RSET.max_samples - RSET.max_hits))
     return render_rays(
-        rays_o, rays_d, vh.voxel_centers(state, MSET),
-        vh.voxel_valid_mask(state), state.voxel_vertex_ids,
-        state.embeddings, params, DSET, RSET, noise)
+        rays_o, rays_d, state, state.embeddings, params, DSET, RSET, noise)
 
 
 def test_render_shapes_and_hits(wall_map):
@@ -123,9 +121,7 @@ def test_render_overfits_wall_depth(wall_map):
             noise = jax.random.uniform(
                 key, (64, RSET.max_samples - RSET.max_hits))
             out = render_rays(
-                rays_o, rays_d, vh.voxel_centers(st, MSET),
-                vh.voxel_valid_mask(st), st.voxel_vertex_ids, emb,
-                params, DSET, RSET, noise)
+                rays_o, rays_d, st, emb, params, DSET, RSET, noise)
             loss, aux = compute_loss(out, gt_c, gt_d, LSET)
             return loss, (aux, out.depth)
         (loss, (aux, depth)), grads = jax.value_and_grad(
