@@ -79,7 +79,7 @@ def main():
 
     settings = SystemSettings(
         render=RenderSettings(voxel_size=0.2, step_size=0.02, truncation=0.1,
-                              max_distance=10.0, max_hits=24, max_samples=96),
+                              max_distance=10.0, max_hits=16, max_samples=80),
         map=MapSettings(voxel_size=0.2, num_embeddings=20000, embed_dim=16,
                         voxel_capacity=20000, frame_voxel_capacity=4096),
         decoder=DecoderSettings(depth=2, width=128, in_dim=16, sdf_dim=128),
@@ -93,7 +93,6 @@ def main():
 
     n_frames = 20
     ds = load_or_make_dataset(n_frames, 320, 240)
-    th.join()
 
     slam = SlamSystem(settings, ds.intrinsics, (ds.height, ds.width), seed=0)
 
@@ -111,6 +110,7 @@ def main():
         slam.process_frame(i, rgb, depth)
     jax.block_until_ready(slam.map_state.embeddings)
     log(f"bench: warmup frames {time.perf_counter() - t0:.0f}s")
+    th.join()   # D2H warmup must not contend with the timed section
 
     t0 = time.perf_counter()
     timed = 0
