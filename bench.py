@@ -143,4 +143,13 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as e:  # the driver needs a JSON line no matter what
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "tracked_frames_per_second", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:200]}))
+        sys.exit(0)

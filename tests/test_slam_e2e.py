@@ -70,3 +70,16 @@ def test_slam_end_to_end(dataset):
 
     # at least one extra keyframe committed (gap rule fires at stamp > 8)
     assert slam.num_kf >= 2
+
+    # full-pipeline mesh extraction from the trained map
+    from proudslam_tpu.mesher import extract_mesh
+    mesh = extract_mesh(slam.map_state, slam.decoder_params, s.map,
+                        s.decoder, res=6, require_color=True)
+    assert len(mesh.verts) > 200
+    assert len(mesh.faces) > 200
+    assert mesh.colors is not None and len(mesh.colors) == len(mesh.verts)
+    # the room geometry: mesh vertices must lie inside the synthetic room
+    assert np.abs(mesh.verts).max() < 3.0
+    # surface accuracy: mesh vertices near the true scene surface
+    d = np.abs(dataset.scene.sdf(mesh.verts.astype(np.float64)))
+    assert np.median(d) < 0.05, f"median surface dist {np.median(d):.3f}"
