@@ -79,7 +79,7 @@ def main():
 
     settings = SystemSettings(
         render=RenderSettings(voxel_size=0.2, step_size=0.02, truncation=0.1,
-                              max_distance=10.0, max_hits=16, max_samples=80),
+                              max_distance=10.0, max_hits=12, max_samples=40),
         map=MapSettings(voxel_size=0.2, num_embeddings=20000, embed_dim=16,
                         voxel_capacity=20000, frame_voxel_capacity=4096),
         decoder=DecoderSettings(depth=2, width=128, in_dim=16, sdf_dim=128),

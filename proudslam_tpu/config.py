@@ -128,6 +128,10 @@ class RenderSettings:
     # sentinel depth for invalid samples (reference MAX_DEPTH,
     # voxel_helpers.py)
     max_depth_sentinel: float = 10000.0
+    # coarsen the per-ray step when the intersected arc exceeds the sample
+    # budget (instead of truncating coverage at max_samples * step_size);
+    # rays within budget behave exactly like the reference's fixed step
+    adaptive_step: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -154,6 +158,9 @@ class DecoderSettings:
     skips: tuple = ()
     embedder: str = "none"
     multires: int = 0
+    # use the fused Pallas MLP kernel on TPU when the architecture allows
+    # (2.1x faster fwd+bwd than the XLA path on v5e; see ops/pallas/)
+    use_fused_mlp: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -217,6 +224,7 @@ def settings_from_config(cfg: Config) -> SystemSettings:
         max_distance=max_depth,
         max_hits=tpu.get("max_hits", 24),
         max_samples=tpu.get("max_samples", 96),
+        adaptive_step=bool(tpu.get("adaptive_step", True)),
     )
     map_settings = MapSettings(
         voxel_size=voxel_size,
@@ -233,6 +241,7 @@ def settings_from_config(cfg: Config) -> SystemSettings:
         skips=tuple(dec.get("skips", ()) or ()),
         embedder=dec.get("embedder", "none"),
         multires=dec.get("multires", 0),
+        use_fused_mlp=bool(tpu.get("fused_mlp", True)),
     )
     tracker = TrackerSettings(
         n_rays=trk.get("N_rays", 1024),

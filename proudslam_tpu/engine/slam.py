@@ -28,6 +28,7 @@ offset is applied.
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional, Tuple
 
 import jax
@@ -105,12 +106,31 @@ class SlamSystem:
             pts_world = camera.transform_points(pts_cam, R, pose6[0:3])
             return vh.insert_points(map_state, pts_world, valid, settings.map)
 
+        # Donation: every state pytree that a step consumes-and-returns is
+        # donated so XLA updates buffers in place (the keyframe store alone
+        # is ~80 MB; copying it per write/map call costs ~25 ms/frame).
         self._track = jax.jit(_track_fn)
+        # (map_state itself is NOT donated: the bucketed view shares its
+        # cell/voxel buffers with the retained full state; the only array
+        # it updates — embeddings, ~1 MB — is cheap to copy)
         self._map = jax.jit(
-            _map_fn, static_argnames=("update_pose", "update_decoder"))
-        self._insert_jit = jax.jit(_insert_fn)
-        self._write = jax.jit(kfstate.write_frame)
+            _map_fn, static_argnames=("update_pose", "update_decoder"),
+            donate_argnums=(1, 2, 3))
+        self._insert_jit = jax.jit(_insert_fn, donate_argnums=(0,))
+        self._write = jax.jit(kfstate.write_frame, donate_argnums=(0,))
         self._rel_pose = jax.jit(_rel_pose_fn)
+
+        # Host-tracked live-voxel count: render-path calls (track/map) see a
+        # bucketed *view* of the voxel table (next power-of-2 >= count), so
+        # the brute-force intersection scales with the live map, not the
+        # 20k capacity. Bucket growth compiles new step executables — a
+        # background thread prewarms the next bucket's compiles (with dummy
+        # inputs, populating the jit cache) before the live count reaches
+        # it, so growth never stalls the frame loop.
+        self._nv = 0
+        self._prewarmed = {self._bucket_for(0)}
+        self._prewarm_lock = threading.Lock()
+        self._prewarm_threads: List[threading.Thread] = []
 
     # ------------------------------------------------------------------
 
@@ -118,11 +138,97 @@ class SlamSystem:
                 pose6: jnp.ndarray) -> vh.MapState:
         """Backproject a depth map at the (refined) pose and allocate voxels
         (reference `create_voxels_pointcloud`, `mapping.py:258-295`)."""
-        return self._insert_jit(map_state, depth, pose6, self.rays_dir)
+        new_state = self._insert_jit(map_state, depth, pose6, self.rays_dir)
+        # one scalar D2H per insertion (~5 ms) keeps the host's bucket bound
+        # exact — insertion is the only place the voxel count changes
+        self._nv = int(new_state.num_voxels)
+        self._maybe_prewarm()
+        return new_state
+
+    def _render_view(self) -> vh.MapState:
+        """Voxel-table view sliced to the current power-of-2 bucket.
+
+        Only the renderer-facing arrays (voxel_keys, voxel_vertex_ids) are
+        sliced; num_voxels stays exact so validity masks are unchanged."""
+        b = self._bucket_for(self._nv)
+        ms = self.map_state
+        if b >= ms.voxel_keys.shape[0]:
+            return ms
+        return ms._replace(voxel_keys=ms.voxel_keys[:b],
+                           voxel_vertex_ids=ms.voxel_vertex_ids[:b])
+
+    def _bucket_for(self, nv: int) -> int:
+        b = 1024
+        while b < nv:
+            b *= 2
+        return min(b, self.settings.map.voxel_capacity)
+
+    def _maybe_prewarm(self):
+        """Compile the next bucket's track/map executables in the background
+        once the live voxel count passes 3/4 of the current bucket."""
+        b = self._bucket_for(self._nv)
+        V = self.settings.map.voxel_capacity
+        if b >= V or self._nv < (3 * b) // 4:
+            return
+        nb = min(b * 2, V)
+        with self._prewarm_lock:
+            if nb in self._prewarmed:
+                return
+            self._prewarmed.add(nb)
+        th = threading.Thread(target=self._prewarm, args=(nb,), daemon=True)
+        th.start()
+        self._prewarm_threads.append(th)
+
+    def _prewarm(self, bucket: int):
+        """Run one dummy track + map call at ``bucket`` shapes. Dummy args
+        share treedef/avals with the real calls so the jit cache is hit."""
+        try:
+            s = self.settings
+            E, D = s.map.num_embeddings, s.map.embed_dim
+            C = s.map.num_embeddings
+            K = s.mapper.max_keyframes
+            H, W = self.height, self.width
+            ms = vh.MapState(
+                cell_keys=jnp.zeros((C,), jnp.int32),
+                cell_ids=jnp.zeros((C,), jnp.int32),
+                cell_vslot=jnp.zeros((C,), jnp.int32),
+                num_cells=jnp.zeros((), jnp.int32),
+                voxel_keys=jnp.zeros((bucket,), jnp.int32),
+                voxel_vertex_ids=jnp.zeros((bucket, 8), jnp.int32),
+                num_voxels=jnp.zeros((), jnp.int32),
+                embeddings=jnp.zeros((E, D)))
+            dec = jax.tree.map(jnp.zeros_like, self.decoder_params)
+            store = kfstate.init_keyframe_store(K, H, W)
+            opt = init_map_opt(ms.embeddings, dec)
+            key = jax.random.PRNGKey(0)
+            n_sel = s.mapper.window_size + 1
+            sel = jnp.zeros((n_sel,), jnp.int32)
+            valid = jnp.zeros((n_sel,), bool)
+            r1 = self._track(ms, dec, jnp.zeros((6,)), self.rays_dir,
+                             jnp.zeros((H, W, 3)), jnp.zeros((H, W)), key)
+            r2 = self._map(ms, dec, store, opt, self.rays_dir, sel, valid,
+                           key)
+            jax.block_until_ready((r1.pose, r2.loss))
+        except Exception:  # pragma: no cover — prewarm is best-effort
+            pass
 
     def _next_key(self) -> jax.Array:
         self._key, k = jax.random.split(self._key)
         return k
+
+    def _merge_map_result(self, res):
+        """Fold a MapStepResult (computed on a bucketed view) back into the
+        full-capacity map state. Only embeddings change during mapping; the
+        view's (donated) sliced voxel arrays are discarded. When the view
+        was the full table (bucket == capacity) every buffer was donated, so
+        the whole state must be taken from the result."""
+        ms = res.map_state
+        if ms.voxel_keys.shape == self.map_state.voxel_keys.shape:
+            self.map_state = ms
+        else:
+            self.map_state = self.map_state._replace(embeddings=ms.embeddings)
+        self.decoder_params = res.decoder_params
+        self.store, self.opt = res.store, res.opt
 
     def _select_window(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Random keyframe window + provisional slot (reference
@@ -175,11 +281,10 @@ class SlamSystem:
             1, self.settings.mapper.init_iterations
             // self.settings.mapper.num_iterations)
         for _ in range(n_rounds):
-            res = self._map(self.map_state, self.decoder_params, self.store,
-                            self.opt, self.rays_dir, sel, valid,
+            res = self._map(self._render_view(), self.decoder_params,
+                            self.store, self.opt, self.rays_dir, sel, valid,
                             self._next_key())
-            self.map_state, self.decoder_params = res.map_state, res.decoder_params
-            self.store, self.opt = res.store, res.opt
+            self._merge_map_result(res)
         self.last_pose6 = pose6
         self._append_trajectory(0)
 
@@ -192,8 +297,9 @@ class SlamSystem:
         rgb_d = jnp.asarray(rgb, jnp.float32)
         depth_d = jnp.asarray(depth, jnp.float32)
 
+        view = self._render_view()
         result: TrackResult = self._track(
-            self.map_state, self.decoder_params, self.last_pose6,
+            view, self.decoder_params, self.last_pose6,
             self.rays_dir, rgb_d, depth_d, self._next_key())
 
         slot = min(self.num_kf, self.settings.mapper.max_keyframes - 1)
@@ -202,10 +308,9 @@ class SlamSystem:
             result.pose, result.adam_m, result.adam_v, result.adam_t)
 
         sel, valid = self._select_window()
-        res = self._map(self.map_state, self.decoder_params, self.store,
+        res = self._map(view, self.decoder_params, self.store,
                         self.opt, self.rays_dir, sel, valid, self._next_key())
-        self.map_state, self.decoder_params = res.map_state, res.decoder_params
-        self.store, self.opt = res.store, res.opt
+        self._merge_map_result(res)
 
         refined = self.store.poses[slot]
         self.map_state = self._insert(self.map_state, depth_d, refined)
@@ -232,12 +337,11 @@ class SlamSystem:
         (reference `mapping.py:158-163`)."""
         for _ in range(final_rounds):
             sel, valid = self._select_window()
-            res = self._map(self.map_state, self.decoder_params, self.store,
-                            self.opt, self.rays_dir, sel, valid,
+            res = self._map(self._render_view(), self.decoder_params,
+                            self.store, self.opt, self.rays_dir, sel, valid,
                             self._next_key(), update_pose=False,
                             update_decoder=False)
-            self.map_state = res.map_state
-            self.store, self.opt = res.store, res.opt
+            self._merge_map_result(res)
 
     def get_trajectory(self) -> np.ndarray:
         """(N, 4, 4) world poses recomposed with final keyframe poses

@@ -49,6 +49,18 @@ class FusedParams(NamedTuple):
     bo: jnp.ndarray     # (1, 3)
 
 
+def fused_applicable(settings: DecoderSettings) -> bool:
+    """True when the fused kernel supports the architecture and the default
+    backend is a real TPU (CPU tests / CPU-mesh dryruns use the XLA path)."""
+    import jax
+
+    return (settings.use_fused_mlp
+            and settings.depth == 2
+            and not settings.skips
+            and settings.embedder == "none"
+            and jax.default_backend() == "tpu")
+
+
 def pack_params(params: dict, settings: DecoderSettings) -> FusedParams:
     """Convert the dict decoder params (models/decoder.py) to kernel layout."""
     assert settings.depth == 2 and not settings.skips \

@@ -65,9 +65,20 @@ def sample_rays_in_segments(inter: Intersections, settings: RenderSettings,
     cum_lo = cum - seg_len
     total = cum[:, -1:]                           # (R, 1)
 
-    # jittered events at arc positions (k + u) * step
+    # jittered events at arc positions (k + u) * step. With adaptive_step,
+    # rays whose intersected arc exceeds the SJ-sample budget use a coarser
+    # per-ray step (total/SJ) so the whole extent stays covered instead of
+    # being truncated at SJ*step — rays within budget are bit-identical to
+    # the fixed-step (reference) behavior. This keeps the static sample cap
+    # small: the per-ray sample count distribution has a long tail (median
+    # ~12, p99 ~70 at step 0.02) that fixed-step capping would either waste
+    # lanes on or truncate.
     k = jnp.arange(SJ, dtype=jnp.float32)[None, :]
-    jitter_arc = (k + jnp.clip(noise, 0.001, 0.999)) * step      # (R, SJ)
+    if settings.adaptive_step:
+        step_r = jnp.maximum(step, total / SJ)                   # (R, 1)
+    else:
+        step_r = step
+    jitter_arc = (k + jnp.clip(noise, 0.001, 0.999)) * step_r    # (R, SJ)
     jitter_valid = jitter_arc < total
     jitter_arc = jnp.where(jitter_valid, jitter_arc, jnp.inf)
 

@@ -66,6 +66,13 @@ def make_sharded_ba_step(mesh: Mesh, settings: SystemSettings):
     plain SGD here — optimizer choice is orthogonal to the sharding; the
     single-chip engine uses Adam (`engine/mapper.py`).
     """
+    import dataclasses
+
+    # the fused Pallas MLP is a single-device kernel; under GSPMD the
+    # decoder width is mp-sharded, so the generic XLA path is used here
+    settings = dataclasses.replace(
+        settings,
+        decoder=dataclasses.replace(settings.decoder, use_fused_mlp=False))
     rnd = settings.render
     SJ = rnd.max_samples - rnd.max_hits
 

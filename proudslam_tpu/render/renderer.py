@@ -100,7 +100,12 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         map_state.voxel_keys, map_state.voxel_vertex_ids, embeddings,
         settings.voxel_size).reshape(R * S, -1)
 
-    out = decoder_values(decoder_params, decoder_settings, feats)
+    from proudslam_tpu.ops.pallas.mlp_kernel import (
+        decoder_values_fused, fused_applicable)
+    if fused_applicable(decoder_settings):
+        out = decoder_values_fused(decoder_params, decoder_settings, feats)
+    else:
+        out = decoder_values(decoder_params, decoder_settings, feats)
     color = out[:, :3].reshape(R, S, 3)
     sdf = out[:, 3].reshape(R, S)
 

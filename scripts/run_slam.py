@@ -10,10 +10,14 @@ supported: ``--tracker_specs.num_iterations 20``.
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+# allow running from a source checkout without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_overrides(extra):

@@ -17,6 +17,9 @@ import sys
 
 import numpy as np
 
+# allow running from a source checkout without installing the package
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
 
 def plot_trajectory(run_dir, out_dir):
     import matplotlib
