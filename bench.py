@@ -81,7 +81,7 @@ def main():
         render=RenderSettings(voxel_size=0.2, step_size=0.02, truncation=0.1,
                               max_distance=10.0, max_hits=12, max_samples=40),
         map=MapSettings(voxel_size=0.2, num_embeddings=20000, embed_dim=16,
-                        voxel_capacity=20000, frame_voxel_capacity=4096),
+                        voxel_capacity=20000, frame_voxel_capacity=2048),
         decoder=DecoderSettings(depth=2, width=128, in_dim=16, sdf_dim=128),
         tracker=TrackerSettings(n_rays=1024, num_iterations=30,
                                 learning_rate=0.01),
@@ -94,7 +94,8 @@ def main():
     n_frames = 20
     ds = load_or_make_dataset(n_frames, 320, 240)
 
-    slam = SlamSystem(settings, ds.intrinsics, (ds.height, ds.width), seed=0)
+    slam = SlamSystem(settings, ds.intrinsics, (ds.height, ds.width), seed=0,
+                      point_stride=2)
 
     t0 = time.perf_counter()
     _, rgb, depth, _, pose0 = ds[0]
@@ -105,19 +106,23 @@ def main():
 
     warmup = 3
     t0 = time.perf_counter()
-    for i in range(1, 1 + warmup):
-        _, rgb, depth, _, _ = ds[i]
-        slam.process_frame(i, rgb, depth)
-    jax.block_until_ready(slam.map_state.embeddings)
-    log(f"bench: warmup frames {time.perf_counter() - t0:.0f}s")
-    th.join()   # D2H warmup must not contend with the timed section
-
-    t0 = time.perf_counter()
     timed = 0
-    for i in range(1 + warmup, n_frames):
-        _, rgb, depth, _, _ = ds[i]
-        slam.process_frame(i, rgb, depth)
-        timed += 1
+    elapsed = None
+    _, rgb, depth, _, _ = ds[1]
+    pending = slam.upload_frame(rgb, depth)   # prefetch overlaps compute
+    for i in range(1, n_frames):
+        if i == 1 + warmup:                   # end of warmup
+            jax.block_until_ready(slam.map_state.embeddings)
+            log(f"bench: warmup frames {time.perf_counter() - t0:.0f}s")
+            th.join()   # D2H warmup must not contend with the timed section
+            t0 = time.perf_counter()
+        cur = pending
+        if i + 1 < n_frames:
+            _, rgb, depth, _, _ = ds[i + 1]
+            pending = slam.upload_frame(rgb, depth)
+        slam.process_frame(i, *cur)
+        if i >= 1 + warmup:
+            timed += 1
     # all work is dispatched asynchronously; include completion in the time
     jax.block_until_ready(slam.map_state.embeddings)
     elapsed = time.perf_counter() - t0

@@ -109,6 +109,19 @@ class SlamSystem:
         # Donation: every state pytree that a step consumes-and-returns is
         # donated so XLA updates buffers in place (the keyframe store alone
         # is ~80 MB; copying it per write/map call costs ~25 ms/frame).
+        # quantized frame upload: H2D through a remote-TPU tunnel is slow
+        # (~20 ms for a f32 frame), so frames travel as uint8 rgb + uint16
+        # depth (the native precision of the RGB-D datasets — the uint16
+        # scale at max_distance 10 m is exactly Replica's 6553.5) and are
+        # decoded to f32 on device.
+        self._depth_quant = 65535.0 / settings.render.max_distance
+
+        def _decode_fn(rgb_q, depth_q):
+            return (rgb_q.astype(jnp.float32) * (1.0 / 255.0),
+                    depth_q.astype(jnp.float32) * (1.0 / self._depth_quant))
+
+        self._decode_frame = jax.jit(_decode_fn)
+
         self._track = jax.jit(_track_fn)
         # (map_state itself is NOT donated: the bucketed view shares its
         # cell/voxel buffers with the retained full state; the only array
@@ -128,7 +141,7 @@ class SlamSystem:
         # inputs, populating the jit cache) before the live count reaches
         # it, so growth never stalls the frame loop.
         self._nv = 0
-        self._prewarmed = {self._bucket_for(0)}
+        self._prewarmed: set = set()
         self._prewarm_lock = threading.Lock()
         self._prewarm_threads: List[threading.Thread] = []
 
@@ -163,6 +176,9 @@ class SlamSystem:
             b *= 2
         return min(b, self.settings.map.voxel_capacity)
 
+    def _current_wsel(self) -> int:
+        return min(self.num_kf, self.settings.mapper.window_size) + 1
+
     def _maybe_prewarm(self):
         """Compile the next bucket's track/map executables in the background
         once the live voxel count passes 3/4 of the current bucket."""
@@ -170,17 +186,35 @@ class SlamSystem:
         V = self.settings.map.voxel_capacity
         if b >= V or self._nv < (3 * b) // 4:
             return
-        nb = min(b * 2, V)
+        self._spawn_prewarm(min(b * 2, V), self._current_wsel(),
+                            do_track=True)
+
+    def _maybe_prewarm_window(self, stamp: int):
+        """Ahead of a predictable keyframe commit (the stamp-gap rule),
+        compile the grown window's map executable in the background."""
+        w = self.settings.mapper.window_size
+        if self.num_kf > w:           # window size already saturated
+            return
+        gap = self.settings.mapper.keyframe_gap
+        margin = max(2, gap // 4)
+        if stamp - self.kf_stamps[self.num_kf - 1] < gap - margin:
+            return
+        self._spawn_prewarm(self._bucket_for(self._nv),
+                            self._current_wsel() + 1, do_track=False)
+
+    def _spawn_prewarm(self, bucket: int, wsel: int, do_track: bool):
+        key = (bucket, wsel, do_track)
         with self._prewarm_lock:
-            if nb in self._prewarmed:
+            if key in self._prewarmed:
                 return
-            self._prewarmed.add(nb)
-        th = threading.Thread(target=self._prewarm, args=(nb,), daemon=True)
+            self._prewarmed.add(key)
+        th = threading.Thread(
+            target=self._prewarm, args=(bucket, wsel, do_track), daemon=True)
         th.start()
         self._prewarm_threads.append(th)
 
-    def _prewarm(self, bucket: int):
-        """Run one dummy track + map call at ``bucket`` shapes. Dummy args
+    def _prewarm(self, bucket: int, wsel: int, do_track: bool):
+        """Run one dummy track/map call at the given shapes. Dummy args
         share treedef/avals with the real calls so the jit cache is hit."""
         try:
             s = self.settings
@@ -201,20 +235,43 @@ class SlamSystem:
             store = kfstate.init_keyframe_store(K, H, W)
             opt = init_map_opt(ms.embeddings, dec)
             key = jax.random.PRNGKey(0)
-            n_sel = s.mapper.window_size + 1
-            sel = jnp.zeros((n_sel,), jnp.int32)
-            valid = jnp.zeros((n_sel,), bool)
-            r1 = self._track(ms, dec, jnp.zeros((6,)), self.rays_dir,
-                             jnp.zeros((H, W, 3)), jnp.zeros((H, W)), key)
+            sel = jnp.arange(wsel, dtype=jnp.int32)
+            valid = jnp.ones((wsel,), bool)
+            outs = []
+            if do_track:
+                r1 = self._track(ms, dec, jnp.zeros((6,)), self.rays_dir,
+                                 jnp.zeros((H, W, 3)), jnp.zeros((H, W)),
+                                 key)
+                outs.append(r1.pose)
             r2 = self._map(ms, dec, store, opt, self.rays_dir, sel, valid,
                            key)
-            jax.block_until_ready((r1.pose, r2.loss))
+            outs.append(r2.loss)
+            jax.block_until_ready(outs)
         except Exception:  # pragma: no cover — prewarm is best-effort
             pass
 
     def _next_key(self) -> jax.Array:
         self._key, k = jax.random.split(self._key)
         return k
+
+    def upload_frame(self, rgb, depth) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Start the (async) device upload of one RGB-D frame.
+
+        Host float arrays are quantized to uint8 rgb / uint16 depth (4x less
+        tunnel traffic; quantization matches the datasets' native encoding)
+        and decoded to f32 on device. Call this one frame ahead of
+        ``process_frame`` to overlap the transfer with compute; passing the
+        returned device arrays back into ``process_frame`` is a no-op."""
+        if isinstance(rgb, jax.Array) and rgb.dtype == jnp.float32:
+            return rgb, depth
+        rgb = np.asarray(rgb)
+        depth = np.asarray(depth)
+        if rgb.dtype != np.uint8:
+            rgb = np.clip(rgb * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+        if depth.dtype != np.uint16:
+            depth = np.clip(depth * self._depth_quant + 0.5, 0.0,
+                            65535.0).astype(np.uint16)
+        return self._decode_frame(jnp.asarray(rgb), jnp.asarray(depth))
 
     def _merge_map_result(self, res):
         """Fold a MapStepResult (computed on a bucketed view) back into the
@@ -232,21 +289,25 @@ class SlamSystem:
 
     def _select_window(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Random keyframe window + provisional slot (reference
-        `select_optimize_targets`, `mapping.py:220-234`)."""
+        `select_optimize_targets`, `mapping.py:220-234`).
+
+        The window is NOT padded to window_size: early in a run there are
+        fewer committed keyframes than the window, and padded slots would
+        render (and backprop through) full dummy ray batches — 60% of the
+        mapping step's compute before the first commits. map_step is
+        generic over the slot count, so each live count compiles its own
+        (small number of) executables; `_maybe_prewarm_window` compiles the
+        next size in the background ahead of each keyframe commit."""
         w = self.settings.mapper.window_size
         committed = list(range(self.num_kf))
         if len(committed) <= w:
             window = committed
         else:
             window = list(self.rng.choice(committed, size=w, replace=False))
-        sel = window + [self.num_kf]          # provisional slot last
-        n_slots = w + 1
-        valid = [True] * len(sel)
-        while len(sel) < n_slots:
-            sel.append(self.settings.mapper.max_keyframes - 1)
-            valid.append(False)
-        return (jnp.asarray(sel[:n_slots], dtype=jnp.int32),
-                jnp.asarray(valid[:n_slots], dtype=bool))
+        slot = min(self.num_kf, self.settings.mapper.max_keyframes - 1)
+        sel = window + [slot]                 # provisional slot last
+        return (jnp.asarray(sel, dtype=jnp.int32),
+                jnp.ones((len(sel),), dtype=bool))
 
     def _append_trajectory(self, slot: int):
         """Record (ref keyframe, relative pose) — the relative transform is
@@ -274,9 +335,11 @@ class SlamSystem:
         self.kf_stamps = [stamp]
         self.map_state = self._insert(
             self.map_state, jnp.asarray(depth, jnp.float32), pose6)
+        # overlap the first tracked frame's compiles with the init rounds
+        self._spawn_prewarm(self._bucket_for(self._nv), 2, do_track=True)
 
-        sel = jnp.zeros((self.settings.mapper.window_size + 1,), jnp.int32)
-        valid = jnp.zeros_like(sel, dtype=bool).at[0].set(True)
+        sel = jnp.zeros((1,), jnp.int32)
+        valid = jnp.ones((1,), dtype=bool)
         n_rounds = max(
             1, self.settings.mapper.init_iterations
             // self.settings.mapper.num_iterations)
@@ -294,8 +357,8 @@ class SlamSystem:
 
         Returns the refined 4x4 world pose (numpy) if ``return_pose`` —
         otherwise None, avoiding a per-frame device->host transfer."""
-        rgb_d = jnp.asarray(rgb, jnp.float32)
-        depth_d = jnp.asarray(depth, jnp.float32)
+        rgb_d, depth_d = self.upload_frame(rgb, depth)
+        self._maybe_prewarm_window(stamp)
 
         view = self._render_view()
         result: TrackResult = self._track(
