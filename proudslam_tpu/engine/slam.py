@@ -141,6 +141,7 @@ class SlamSystem:
         # inputs, populating the jit cache) before the live count reaches
         # it, so growth never stalls the frame loop.
         self._nv = 0
+        self._nv_pending = None
         self._prewarmed: set = set()
         self._prewarm_lock = threading.Lock()
         self._prewarm_threads: List[threading.Thread] = []
@@ -152,17 +153,28 @@ class SlamSystem:
         """Backproject a depth map at the (refined) pose and allocate voxels
         (reference `create_voxels_pointcloud`, `mapping.py:258-295`)."""
         new_state = self._insert_jit(map_state, depth, pose6, self.rays_dir)
-        # one scalar D2H per insertion (~5 ms) keeps the host's bucket bound
-        # exact — insertion is the only place the voxel count changes
-        self._nv = int(new_state.num_voxels)
-        self._maybe_prewarm()
+        # the host's bucket bound follows the device count via an *async*
+        # copy consumed one frame later — a blocking scalar fetch here costs
+        # a full tunnel round trip (~20 ms) on the critical path. The bucket
+        # being one insert stale means at most one frame renders without the
+        # very newest voxels, which is the reference's stale-snapshot
+        # tracking semantics anyway (`share.py`, SURVEY §5).
+        self._nv_pending = new_state.num_voxels
+        self._nv_pending.copy_to_host_async()
         return new_state
+
+    def _drain_nv(self):
+        if self._nv_pending is not None:
+            self._nv = int(self._nv_pending)
+            self._nv_pending = None
+            self._maybe_prewarm()
 
     def _render_view(self) -> vh.MapState:
         """Voxel-table view sliced to the current power-of-2 bucket.
 
         Only the renderer-facing arrays (voxel_keys, voxel_vertex_ids) are
         sliced; num_voxels stays exact so validity masks are unchanged."""
+        self._drain_nv()
         b = self._bucket_for(self._nv)
         ms = self.map_state
         if b >= ms.voxel_keys.shape[0]:
@@ -336,6 +348,7 @@ class SlamSystem:
         self.map_state = self._insert(
             self.map_state, jnp.asarray(depth, jnp.float32), pose6)
         # overlap the first tracked frame's compiles with the init rounds
+        self._drain_nv()
         self._spawn_prewarm(self._bucket_for(self._nv), 2, do_track=True)
 
         sel = jnp.zeros((1,), jnp.int32)

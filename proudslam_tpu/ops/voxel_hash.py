@@ -260,14 +260,28 @@ def insert_points(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
     new_keys_arr = jnp.where(fits, cand, SENTINEL)
     new_ids_arr = jnp.where(fits, new_ids, 0).astype(jnp.int32)
 
-    merged_keys = jnp.concatenate([state.cell_keys, new_keys_arr])
-    merged_ids = jnp.concatenate([state.cell_ids, new_ids_arr])
-    merged_vslot = jnp.concatenate(
-        [state.cell_vslot, jnp.full((8 * F,), -1, dtype=jnp.int32)])
-    perm = jnp.argsort(merged_keys)[:C]
-    cell_keys = merged_keys[perm]
-    cell_ids = merged_ids[perm]
-    cell_vslot = merged_vslot[perm]
+    # Merge-by-rank instead of a full argsort over capacity + candidates:
+    # the cell table is sorted by invariant; re-sort only the (small)
+    # candidate array (dropped candidates became mid-array SENTINELs), then
+    # each element's merged position is its own index plus its searchsorted
+    # rank in the other array. Tie-breaking is collision-free: a candidate
+    # equal to a live table key is never `new_cell`, and the side choices
+    # order table-SENTINELs strictly before candidate-SENTINELs.
+    order2 = jnp.argsort(new_keys_arr)
+    new_keys_sorted = new_keys_arr[order2]
+    new_ids_sorted = new_ids_arr[order2]
+    M = 8 * F
+    pos_a = jnp.arange(C, dtype=jnp.int32) + jnp.searchsorted(
+        new_keys_sorted, state.cell_keys, side="left").astype(jnp.int32)
+    pos_b = jnp.arange(M, dtype=jnp.int32) + jnp.searchsorted(
+        state.cell_keys, new_keys_sorted, side="right").astype(jnp.int32)
+    total = C + M
+    cell_keys = jnp.zeros((total,), jnp.int32).at[pos_a].set(
+        state.cell_keys).at[pos_b].set(new_keys_sorted)[:C]
+    cell_ids = jnp.zeros((total,), jnp.int32).at[pos_a].set(
+        state.cell_ids).at[pos_b].set(new_ids_sorted)[:C]
+    cell_vslot = jnp.full((total,), -1, jnp.int32).at[pos_a].set(
+        state.cell_vslot)[:C]
     num_cells = jnp.minimum(
         state.num_cells + jnp.sum(fits.astype(jnp.int32)), C).astype(jnp.int32)
 
