@@ -1,13 +1,20 @@
-"""Benchmark: tracked+mapped frames/s of the full SLAM loop on one chip.
+"""Benchmark: tracked+mapped frames/s of the full SLAM loop on one chip,
+at the reference's operating scale.
 
 Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
 Progress goes to stderr.
 
+Workload (matches the reference's Replica-room0 operating point,
+`/root/reference/configs/replica/replica.yaml` + `src/mapping.py:136`):
+480 frames of a 12x3.2x12 m analytic scene at 320x240, map growing past
+10k SURFACE voxels at 0.2 m, keyframe commits every 51 stamps (~9 committed
+keyframes, saturating the 4+1 BA window), per-frame budget = 30x1024-ray
+tracking iters + 10x(5x1024)-ray BA iters + voxel insertion.
+
 The reference publishes no numbers (BASELINE.md); the upstream Vox-Fusion
-system class runs ~2 frames/s on an RTX-3090-class GPU at the reference's
-compute budget (30x1024-ray tracking iters + 10x5x1024-ray mapping iters
-per frame). vs_baseline is reported against that 2 fps anchor; the driver
-target is >= 3x (BASELINE.json).
+system class runs ~2 frames/s on an RTX-3090-class GPU at this budget.
+vs_baseline is reported against that 2 fps anchor; the driver target is
+>= 3x (BASELINE.json).
 
 Environment notes: the first device->host transfer through the remote-TPU
 tunnel pays a one-time multi-minute initialization — it is warmed up in a
@@ -24,37 +31,66 @@ import time
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_data.npz")
 
+N_FRAMES = 480
+WIDTH, HEIGHT = 320, 240
+RADIUS = 1.4
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def load_or_make_dataset(n_frames, width, height):
+def load_or_make_dataset(n_frames=N_FRAMES, width=WIDTH, height=HEIGHT):
     import numpy as np
 
-    from proudslam_tpu.data.synthetic import SyntheticDataset
+    from proudslam_tpu.data.synthetic import BenchDataset
 
     if os.path.exists(CACHE):
         data = np.load(CACHE)
         if (int(data["n"]) == n_frames and int(data["w"]) == width
                 and int(data["h"]) == height):
             log("bench: using cached dataset")
-            ds = SyntheticDataset.__new__(SyntheticDataset)
+            ds = BenchDataset.__new__(BenchDataset)
             ds.width, ds.height = width, height
+            ds.max_depth = float(data["max_depth"])
             ds.fx = ds.fy = 0.9 * width
             ds.cx, ds.cy = (width - 1) / 2.0, (height - 1) / 2.0
+            ds.depth_quant = 65535.0 / ds.max_depth
             ds.poses = list(data["poses"])
-            ds.frames = [(data["rgb"][i], data["depth"][i])
-                         for i in range(n_frames)]
+            # read each compressed member ONCE (npz __getitem__ decompresses
+            # the whole member on every access)
+            rgb, depth = data["rgb"], data["depth"]
+            ds.frames = [(rgb[i], depth[i]) for i in range(n_frames)]
             return ds
     log("bench: generating dataset...")
-    ds = SyntheticDataset(num_frames=n_frames, width=width, height=height)
+    ds = BenchDataset(num_frames=n_frames, width=width, height=height,
+                      radius=RADIUS)
     np.savez_compressed(
-        CACHE, n=n_frames, w=width, h=height,
+        CACHE, n=n_frames, w=width, h=height, max_depth=ds.max_depth,
         poses=np.stack(ds.poses),
         rgb=np.stack([f[0] for f in ds.frames]),
         depth=np.stack([f[1] for f in ds.frames]))
     return ds
+
+
+def bench_settings():
+    from proudslam_tpu.config import (
+        DecoderSettings, LossSettings, MapSettings, MapperSettings,
+        RenderSettings, SystemSettings, TrackerSettings)
+
+    return SystemSettings(
+        render=RenderSettings(voxel_size=0.2, step_size=0.02, truncation=0.1,
+                              max_distance=10.0, max_hits=12, max_samples=40),
+        map=MapSettings(voxel_size=0.2, num_embeddings=40960, embed_dim=16,
+                        voxel_capacity=20480, frame_voxel_capacity=4096),
+        decoder=DecoderSettings(depth=2, width=128, in_dim=16, sdf_dim=128),
+        tracker=TrackerSettings(n_rays=1024, num_iterations=30,
+                                learning_rate=0.01),
+        mapper=MapperSettings(n_rays_each=1024, window_size=4,
+                              num_iterations=10, keyframe_gap=50,
+                              max_keyframes=64, init_iterations=100),
+        loss=LossSettings(),
+    )
 
 
 def main():
@@ -71,35 +107,19 @@ def main():
     th = threading.Thread(target=_warmup, daemon=True)
     th.start()
 
-    from proudslam_tpu.config import (
-        DecoderSettings, LossSettings, MapSettings, MapperSettings,
-        RenderSettings, SystemSettings, TrackerSettings)
     from proudslam_tpu.engine.slam import SlamSystem
-    from proudslam_tpu.utils.metrics import ate_rmse
+    from proudslam_tpu.utils.metrics import ate_rmse, rpe_rmse
 
-    settings = SystemSettings(
-        render=RenderSettings(voxel_size=0.2, step_size=0.02, truncation=0.1,
-                              max_distance=10.0, max_hits=12, max_samples=40),
-        map=MapSettings(voxel_size=0.2, num_embeddings=20000, embed_dim=16,
-                        voxel_capacity=20000, frame_voxel_capacity=2048),
-        decoder=DecoderSettings(depth=2, width=128, in_dim=16, sdf_dim=128),
-        tracker=TrackerSettings(n_rays=1024, num_iterations=30,
-                                learning_rate=0.01),
-        mapper=MapperSettings(n_rays_each=1024, window_size=4,
-                              num_iterations=10, keyframe_gap=50,
-                              max_keyframes=64, init_iterations=100),
-        loss=LossSettings(),
-    )
-
-    n_frames = 20
-    ds = load_or_make_dataset(n_frames, 320, 240)
+    settings = bench_settings()
+    n_frames = N_FRAMES
+    ds = load_or_make_dataset()
 
     slam = SlamSystem(settings, ds.intrinsics, (ds.height, ds.width), seed=0,
                       point_stride=2)
 
     t0 = time.perf_counter()
-    _, rgb, depth, _, pose0 = ds[0]
-    slam.initialize(rgb, depth, pose0, stamp=0)
+    rgb0, depth0 = ds.dequantized(0)
+    slam.initialize(rgb0, depth0, ds.get_init_pose(), stamp=0)
     log(f"bench: initialize (incl. compiles) {time.perf_counter() - t0:.0f}s")
 
     import jax
@@ -107,7 +127,6 @@ def main():
     warmup = 3
     t0 = time.perf_counter()
     timed = 0
-    elapsed = None
     _, rgb, depth, _, _ = ds[1]
     pending = slam.upload_frame(rgb, depth)   # prefetch overlaps compute
     for i in range(1, n_frames):
@@ -123,6 +142,10 @@ def main():
         slam.process_frame(i, *cur)
         if i >= 1 + warmup:
             timed += 1
+        if i % 120 == 0:
+            log(f"bench: frame {i}/{n_frames} "
+                f"voxels={slam.counters()['num_voxels']} kf={slam.num_kf} "
+                f"({timed / max(time.perf_counter() - t0, 1e-9):.2f} fps)")
     # all work is dispatched asynchronously; include completion in the time
     jax.block_until_ready(slam.map_state.embeddings)
     elapsed = time.perf_counter() - t0
@@ -131,6 +154,8 @@ def main():
     est = slam.get_trajectory()
     gt = np.stack(ds.poses)[:len(est)]
     ate_cm = ate_rmse(est, gt, align=False) * 100
+    rpe_cm = rpe_rmse(est, gt, delta=1) * 100
+    counters = slam.counters()
 
     result = {
         "metric": "tracked_frames_per_second",
@@ -139,8 +164,12 @@ def main():
         "vs_baseline": round(fps / 2.0, 3),
         "extra": {
             "ate_rmse_cm": round(ate_cm, 3),
+            "rpe_rmse_cm": round(rpe_cm, 4),
             "frames_timed": timed,
-            "num_voxels": int(slam.map_state.num_voxels),
+            "num_voxels": counters["num_voxels"],
+            "num_cells": counters["num_cells"],
+            "voxel_capacity": settings.map.voxel_capacity,
+            "cell_capacity": settings.map.num_embeddings,
             "num_keyframes": slam.num_kf,
         },
     }

@@ -132,6 +132,24 @@ class RenderSettings:
     # budget (instead of truncating coverage at max_samples * step_size);
     # rays within budget behave exactly like the reference's fixed step
     adaptive_step: bool = True
+    # --- ray/voxel intersection backend ---
+    # "brute": O(R*V) slab matrix + approx_min_k — fastest measured form up
+    #   to ~20k voxels (the matrix stays HBM-bandwidth-cheap at SLAM scales).
+    # "dda": march a dense occupancy grid along each ray — O(path length)
+    #   per ray, independent of the live voxel count (the TPU-native analog
+    #   of the reference's octree DFS, `intersect_gpu.cu:191-270`). XLA's
+    #   per-lane gathers make it slower than brute below ~20k voxels;
+    #   use for maps beyond brute's comfortable range.
+    intersect_mode: str = "brute"
+    # dense occupancy grid extent, in voxel units (world extent =
+    # [origin*voxel, (origin+dims)*voxel] per axis)
+    grid_dims: tuple = (192, 48, 192)
+    grid_origin: tuple = (-96, -24, -96)
+    # euclidean march spacing as a fraction of voxel_size; < 0.5 guarantees
+    # any voxel whose in-voxel chord exceeds that spacing is detected
+    dda_step_frac: float = 0.45
+    # bound on |rays_d| (pinhole dirs are unit-z, norm <= ~1.22 at wide FOV)
+    dda_dir_bound: float = 1.25
 
 
 @dataclasses.dataclass(frozen=True)
@@ -225,6 +243,10 @@ def settings_from_config(cfg: Config) -> SystemSettings:
         max_hits=tpu.get("max_hits", 24),
         max_samples=tpu.get("max_samples", 96),
         adaptive_step=bool(tpu.get("adaptive_step", True)),
+        intersect_mode=tpu.get("intersect_mode", "brute"),
+        grid_dims=tuple(tpu.get("grid_dims", (192, 48, 192))),
+        grid_origin=tuple(tpu.get("grid_origin", (-96, -24, -96))),
+        dda_step_frac=tpu.get("dda_step_frac", 0.45),
     )
     map_settings = MapSettings(
         voxel_size=voxel_size,

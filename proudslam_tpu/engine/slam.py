@@ -141,7 +141,10 @@ class SlamSystem:
         # inputs, populating the jit cache) before the live count reaches
         # it, so growth never stalls the frame loop.
         self._nv = 0
+        self._nc = 0
         self._nv_pending = None
+        self._nc_pending = None
+        self._capacity_warned = False
         self._prewarmed: set = set()
         self._prewarm_lock = threading.Lock()
         self._prewarm_threads: List[threading.Thread] = []
@@ -161,6 +164,8 @@ class SlamSystem:
         # tracking semantics anyway (`share.py`, SURVEY §5).
         self._nv_pending = new_state.num_voxels
         self._nv_pending.copy_to_host_async()
+        self._nc_pending = new_state.num_cells
+        self._nc_pending.copy_to_host_async()
         return new_state
 
     def _drain_nv(self):
@@ -168,6 +173,42 @@ class SlamSystem:
             self._nv = int(self._nv_pending)
             self._nv_pending = None
             self._maybe_prewarm()
+        if self._nc_pending is not None:
+            self._nc = int(self._nc_pending)
+            self._nc_pending = None
+            self._check_capacity()
+
+    def _check_capacity(self):
+        """Warn (once) when the map nears its static capacities.
+
+        Beyond capacity, ``insert_points`` silently drops new allocations
+        (`ops/voxel_hash.py` capacity guard) — the map stops growing and
+        tracking quality degrades in unexplored space, so surfacing this is
+        load-bearing (the reference would instead index out of bounds past
+        its 20000 embeddings)."""
+        if self._capacity_warned:
+            return
+        V = self.settings.map.voxel_capacity
+        C = self.settings.map.num_embeddings
+        if self._nv >= 0.9 * V or self._nc >= 0.9 * C:
+            self._capacity_warned = True
+            import sys
+            print(
+                f"proudslam_tpu WARNING: map at >=90% capacity "
+                f"(voxels {self._nv}/{V}, cells {self._nc}/{C}); new "
+                f"allocations will be dropped at capacity — raise "
+                f"tpu_specs.voxel_capacity / mapper_specs.num_embeddings",
+                file=sys.stderr, flush=True)
+
+    def counters(self) -> dict:
+        """Host-visible map occupancy counters (see `_drain_nv`)."""
+        self._drain_nv()
+        return {
+            "num_voxels": self._nv,
+            "num_cells": self._nc,
+            "voxel_capacity": self.settings.map.voxel_capacity,
+            "cell_capacity": self.settings.map.num_embeddings,
+        }
 
     def _render_view(self) -> vh.MapState:
         """Voxel-table view sliced to the current power-of-2 bucket.
@@ -183,6 +224,11 @@ class SlamSystem:
                            voxel_vertex_ids=ms.voxel_vertex_ids[:b])
 
     def _bucket_for(self, nv: int) -> int:
+        # The DDA intersection path is V-independent (O(path length) per
+        # ray), so no bucketing is needed: one executable serves the whole
+        # run, and the bucket prewarm machinery short-circuits.
+        if self.settings.render.intersect_mode == "dda":
+            return self.settings.map.voxel_capacity
         b = 1024
         while b < nv:
             b *= 2

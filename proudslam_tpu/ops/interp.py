@@ -16,10 +16,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# (8, 3) float corner bits, same order as voxel_hash.CORNER_OFFSETS
-CORNER_BITS = jnp.array(
+# (8, 3) float corner bits, same order as voxel_hash.CORNER_OFFSETS.
+# numpy (not jnp): module-level device constants trigger D2H fetches at
+# jit-lowering time through the remote-TPU tunnel.
+import numpy as _np
+
+CORNER_BITS = _np.array(
     [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
-     [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], dtype=jnp.float32)
+     [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], dtype=_np.float32)
 
 
 def trilinear_weights(p: jnp.ndarray) -> jnp.ndarray:

@@ -147,6 +147,121 @@ def ray_box_slab_pairs(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     return t_near, t_far, t_near <= t_far
 
 
+def dda_num_points(settings: RenderSettings) -> int:
+    """Static march-point count covering t <= max_distance for any ray with
+    |d| <= dda_dir_bound (rounded up to a multiple of 8 for TPU tiling)."""
+    m = settings.max_distance * settings.dda_dir_bound / (
+        settings.dda_step_frac * settings.voxel_size)
+    return (int(m) + 2 + 7) // 8 * 8
+
+
+def build_occupancy(voxel_keys: jnp.ndarray, num_voxels: jnp.ndarray,
+                    settings: RenderSettings) -> jnp.ndarray:
+    """Dense voxel-slot grid: (prod(grid_dims),) int32, -1 where empty.
+
+    Scatter of the (unique) live voxel keys into the configured extent.
+    O(V) — and loop-invariant in the Adam scans, so XLA hoists it to once
+    per step call. Voxels outside the extent are unreachable by the DDA
+    path (size `grid_dims` generously; `intersect_mode="brute"` has no
+    extent limit).
+    """
+    from proudslam_tpu.ops.voxel_hash import unpack_key
+
+    gx, gy, gz = settings.grid_dims
+    ox, oy, oz = settings.grid_origin
+    total = gx * gy * gz
+    V = voxel_keys.shape[0]
+    coords = unpack_key(voxel_keys)
+    cx = coords[:, 0] - ox
+    cy = coords[:, 1] - oy
+    cz = coords[:, 2] - oz
+    ok = ((cx >= 0) & (cx < gx) & (cy >= 0) & (cy < gy)
+          & (cz >= 0) & (cz < gz)
+          & (jnp.arange(V, dtype=jnp.int32) < num_voxels))
+    lin = (cx * gy + cy) * gz + cz
+    lin = jnp.where(ok, lin, total)
+    occ = jnp.full((total + 1,), -1, dtype=jnp.int32)
+    occ = occ.at[lin].set(jnp.arange(V, dtype=jnp.int32), mode="drop")
+    return occ[:total]
+
+
+def ray_intersect_dda(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                      voxel_keys: jnp.ndarray, num_voxels: jnp.ndarray,
+                      settings: RenderSettings,
+                      occupancy: jnp.ndarray = None) -> Intersections:
+    """Grid-marching intersection: O(path length) per ray, V-independent.
+
+    TPU-native replacement of the reference's per-ray octree DFS
+    (`intersect_gpu.cu:191-270`): march each ray at a fixed euclidean
+    spacing (< voxel_size/2), look every point up in a dense occupancy
+    grid, and take the first K distinct voxels — which are exactly the K
+    nearest since march order is depth order. Entry/exit depths are then
+    recomputed exactly (slab test) for just the selected voxels, so the
+    output matches :func:`ray_intersect` semantics bit-for-bit up to
+    corner grazes (voxels whose in-voxel chord is shorter than the march
+    spacing may be skipped; such segments contribute ~nothing to the
+    render integral, and the reference's own DFS truncates hits
+    arbitrarily at 50).
+    """
+    from proudslam_tpu.ops.voxel_hash import unpack_key
+
+    H = settings.max_hits
+    vox = settings.voxel_size
+    half = vox * 0.5
+    gx, gy, gz = settings.grid_dims
+    ox, oy, oz = settings.grid_origin
+    total = gx * gy * gz
+    M = dda_num_points(settings)
+
+    if occupancy is None:
+        occupancy = build_occupancy(voxel_keys, num_voxels, settings)
+    occ_pad = jnp.concatenate(
+        [occupancy, jnp.full((1,), -1, jnp.int32)])
+
+    # march points at euclidean spacing dda_step_frac * voxel_size
+    dnorm = jnp.sqrt(jnp.sum(rays_d * rays_d, axis=-1, keepdims=True))
+    step_t = (settings.dda_step_frac * vox) / jnp.maximum(dnorm, 1e-12)
+    t = jnp.arange(M, dtype=jnp.float32)[None, :] * step_t        # (R, M)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * t[..., None]  # (R, M, 3)
+    c = jnp.floor(pts * (1.0 / vox)).astype(jnp.int32)
+    cx = c[..., 0] - ox
+    cy = c[..., 1] - oy
+    cz = c[..., 2] - oz
+    in_range = ((cx >= 0) & (cx < gx) & (cy >= 0) & (cy < gy)
+                & (cz >= 0) & (cz < gz) & (t <= settings.max_distance))
+    lin = jnp.where(in_range, (cx * gy + cy) * gz + cz, total)    # (R, M)
+    slot = occ_pad[lin]                                           # (R, M)
+
+    # first marched point of each visited cell (a line's span inside an
+    # AABB is one interval, so runs of equal lin are contiguous)
+    new_run = jnp.concatenate(
+        [jnp.ones_like(lin[:, :1], bool), lin[:, 1:] != lin[:, :-1]], axis=1)
+    hit = (slot >= 0) & new_run
+    rank = jnp.cumsum(hit.astype(jnp.int32), axis=1) - 1          # (R, M)
+    keep = hit & (rank < H)
+
+    # compact to (R, H) by rank (one-hot masked sum — fused on the VPU)
+    onehot = keep[:, :, None] & (
+        rank[:, :, None] == jnp.arange(H, dtype=jnp.int32))       # (R, M, H)
+    idx = jnp.sum(jnp.where(onehot, slot[:, :, None], 0), axis=1,
+                  dtype=jnp.int32)                                # (R, H)
+    n_hits = jnp.sum(keep.astype(jnp.int32), axis=1)              # (R,)
+    sel_valid = jnp.arange(H, dtype=jnp.int32)[None, :] < n_hits[:, None]
+
+    # exact entry/exit depths for the selected voxels only
+    sel_keys = voxel_keys[jnp.clip(idx, 0, voxel_keys.shape[0] - 1)]
+    centers = (unpack_key(sel_keys).astype(jnp.float32) + 0.5) * vox
+    tn, tf, _ = ray_box_slab_pairs(rays_o, rays_d, centers, half)
+    sel_valid &= tn <= settings.max_distance
+
+    voxel_idx = jnp.where(sel_valid, idx, -1)
+    t_near = jnp.where(sel_valid, tn, settings.max_distance)
+    t_far = jnp.where(sel_valid, tf, settings.max_distance)
+    hit_mask = jnp.any(sel_valid, axis=-1)
+    return Intersections(t_near=t_near, t_far=t_far, voxel_idx=voxel_idx,
+                         hit_mask=hit_mask)
+
+
 def ray_intersect_scan(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                        centers: jnp.ndarray, voxel_valid: jnp.ndarray,
                        settings: RenderSettings,

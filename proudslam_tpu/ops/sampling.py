@@ -39,7 +39,17 @@ class RaySamples(NamedTuple):
 
 def sample_rays_in_segments(inter: Intersections, settings: RenderSettings,
                             noise: jnp.ndarray) -> RaySamples:
-    """Stratified sampling along intersected segments.
+    """Stratified sampling along intersected segments (sort-free form).
+
+    Semantically identical to :func:`sample_rays_in_segments_sort` (the
+    original event-merge formulation, kept as the oracle) but exploits
+    that both event lists are *already sorted*: jittered events are an
+    increasing progression in arc length, and boundary events are a
+    cumsum. The merged order is then a rank-merge (each event's sorted
+    position = own index + count of smaller events in the other list —
+    small (R, SJ, H) comparison sums) and the sorted layout is produced by
+    one batched one-hot contraction on the MXU, replacing the (R, S)
+    ``jnp.sort`` that dominated the sampler's cost on TPU.
 
     Args:
       inter: sorted per-ray intersections, (R, H) arrays.
@@ -50,6 +60,121 @@ def sample_rays_in_segments(inter: Intersections, settings: RenderSettings,
     Returns:
       RaySamples with S == settings.max_samples entries per ray, sorted by
       depth, invalid entries trailing.
+    """
+    H = settings.max_hits
+    S = settings.max_samples
+    SJ = S - H
+    assert noise.shape[-1] == SJ, (noise.shape, SJ)
+    step = settings.step_size
+    sentinel = settings.max_depth_sentinel
+    INF = jnp.float32(jnp.inf)
+
+    valid_bin = inter.voxel_idx >= 0
+    seg_len = jnp.where(valid_bin,
+                        jnp.maximum(inter.t_far - inter.t_near, 0.0), 0.0)
+    cum = jnp.cumsum(seg_len, axis=-1)            # (R, H) segment end arcs
+    cum_lo = cum - seg_len
+    total = cum[:, -1:]                           # (R, 1)
+
+    # --- jittered events (sorted: (k + u) is increasing in k, u < 1) ---
+    k = jnp.arange(SJ, dtype=jnp.float32)[None, :]
+    if settings.adaptive_step:
+        step_r = jnp.maximum(step, total / SJ)
+    else:
+        step_r = step
+    jit_arc = (k + jnp.clip(noise, 0.001, 0.999)) * step_r       # (R, SJ)
+    jit_arc = jnp.where(jit_arc < total, jit_arc, INF)
+
+    # --- boundary events (sorted: cumsum of nonnegative lengths) ---
+    bound_valid = valid_bin & (seg_len > 0)
+    bnd_arc = jnp.where(bound_valid, cum, INF)                   # (R, H)
+
+    # per-jitter-event bin + attributes: count of segment ends < arc
+    below = cum[:, None, :] < jit_arc[:, :, None]                # (R, SJ, H)
+    jbin = jnp.sum(below, axis=-1, dtype=jnp.int32)
+    jbin = jnp.clip(jbin, 0, H - 1)
+    jhot = jbin[:, :, None] == jnp.arange(H, dtype=jnp.int32)    # (R, SJ, H)
+    j_tnear = jnp.sum(jnp.where(jhot, inter.t_near[:, None, :], 0.0), -1)
+    j_lo = jnp.sum(jnp.where(jhot, cum_lo[:, None, :], 0.0), -1)
+    j_idx = jnp.sum(jnp.where(jhot, inter.voxel_idx[:, None, :], 0), -1,
+                    dtype=jnp.int32)
+    j_valid = (jit_arc < INF) & (j_idx >= 0)
+    j_arc_safe = jnp.where(jit_arc < INF, jit_arc, 0.0)
+    j_z = j_tnear + (j_arc_safe - j_lo)                          # (R, SJ)
+
+    # previous-event depth for a jitter event: the previous jitter event if
+    # it lies in the same bin (no boundary can sit between two same-bin
+    # events), else the segment start
+    j_zprev = jnp.concatenate([j_z[:, :1], j_z[:, :-1]], axis=1)
+    j_prevbin = jnp.concatenate([jbin[:, :1] - 1, jbin[:, :-1]], axis=1)
+    j_zlow = jnp.where(j_prevbin == jbin, j_zprev, j_tnear)
+
+    # per-boundary-event attributes: bin h's end, z = t_far[h]; previous
+    # event = last jitter event inside bin h if any, else the segment start
+    b_z = jnp.where(bound_valid, inter.t_far, 0.0)               # (R, H)
+    in_bin = jhot & j_valid[:, :, None]                          # (R, SJ, H)
+    b_zmax = jnp.max(jnp.where(in_bin, j_z[:, :, None], -INF), axis=1)
+    b_zlow = jnp.where(b_zmax > -INF, b_zmax, inter.t_near)      # (R, H)
+    b_valid = bound_valid & (inter.voxel_idx >= 0)
+
+    # payload per event (invalid events already carry their final values)
+    j_depth = jnp.where(j_valid, 0.5 * (j_z + j_zlow), sentinel)
+    j_dist = jnp.where(j_valid, jnp.maximum(j_z - j_zlow, 0.0), 0.0)
+    j_vidx = jnp.where(j_valid, j_idx, -1)
+    j_bin = jnp.where(j_valid, jbin, 0)
+    b_depth = jnp.where(b_valid, 0.5 * (b_z + b_zlow), sentinel)
+    b_dist = jnp.where(b_valid, jnp.maximum(b_z - b_zlow, 0.0), 0.0)
+    b_vidx = jnp.where(b_valid, inter.voxel_idx, -1)
+    b_bin = jnp.where(b_valid, jnp.arange(H, dtype=jnp.int32)[None, :], 0)
+
+    # rank-merge: stable merge with jitter-before-boundary on ties; inf
+    # (invalid) events land behind every finite one, in stable order. The
+    # jitter list is sorted (inf only as a suffix) so its self-rank is its
+    # index; the boundary list is NOT (a zero-length segment's inf sits
+    # between finite cums), so its self-rank is an O(H^2) comparison count.
+    j_pos = (jnp.arange(SJ, dtype=jnp.int32)[None, :]
+             + jnp.sum(bnd_arc[:, None, :] < jit_arc[:, :, None], -1,
+                       dtype=jnp.int32))                         # (R, SJ)
+    h_iota = jnp.arange(H, dtype=jnp.int32)
+    b_lt = (bnd_arc[:, None, :] < bnd_arc[:, :, None]) | (
+        (bnd_arc[:, None, :] == bnd_arc[:, :, None])
+        & (h_iota[None, None, :] < h_iota[None, :, None]))       # (R, H, H)
+    b_pos = (jnp.sum(b_lt, -1, dtype=jnp.int32)
+             + jnp.sum(jit_arc[:, :, None] <= bnd_arc[:, None, :], 1,
+                       dtype=jnp.int32))                         # (R, H)
+
+    # scatter payloads to sorted slots via one-hot masked sums (exact fp —
+    # each output slot receives exactly one event's value, no MXU rounding)
+    s_iota = jnp.arange(S, dtype=jnp.int32)
+    j_hot = j_pos[:, :, None] == s_iota                          # (R, SJ, S)
+    b_hot = b_pos[:, :, None] == s_iota                          # (R, H, S)
+    j_pay = jnp.stack([j_depth, j_dist, j_vidx.astype(jnp.float32),
+                       j_bin.astype(jnp.float32)], axis=-1)      # (R, SJ, 4)
+    b_pay = jnp.stack([b_depth, b_dist, b_vidx.astype(jnp.float32),
+                       b_bin.astype(jnp.float32)], axis=-1)      # (R, H, 4)
+    out = (jnp.sum(jnp.where(j_hot[..., None], j_pay[:, :, None, :], 0.0), 1)
+           + jnp.sum(jnp.where(b_hot[..., None], b_pay[:, :, None, :], 0.0),
+                     1))                                         # (R, S, 4)
+
+    depth = out[..., 0]
+    dist = out[..., 1]
+    vidx = out[..., 2].astype(jnp.int32)
+    bins = out[..., 3].astype(jnp.int32)
+    valid = vidx >= 0
+    return RaySamples(
+        depth=jnp.where(valid, depth, sentinel),
+        dist=jnp.where(valid, dist, 0.0),
+        voxel_idx=jnp.where(valid, vidx, -1),
+        bin=jnp.where(valid, bins, 0),
+    )
+
+
+def sample_rays_in_segments_sort(inter: Intersections,
+                                 settings: RenderSettings,
+                                 noise: jnp.ndarray) -> RaySamples:
+    """Original jnp.sort event-merge formulation (correctness oracle).
+
+    See :func:`sample_rays_in_segments` for the production sort-free form.
     """
     H = settings.max_hits
     S = settings.max_samples

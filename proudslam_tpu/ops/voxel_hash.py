@@ -33,14 +33,20 @@ import jax.numpy as jnp
 
 from proudslam_tpu.config import MapSettings
 
-# packed-key sentinel: larger than any valid packed coordinate
-SENTINEL = jnp.int32(2**31 - 1)
+# packed-key sentinel: larger than any valid packed coordinate.
+# NOTE: module-level constants must be NUMPY, not jnp — a module-level jnp
+# array lives on the default device, and embedding it as a jit constant
+# fetches it device->host at lowering time (minutes through a cold
+# remote-TPU tunnel).
+import numpy as _np
+
+SENTINEL = _np.int32(2**31 - 1)
 
 # corner offset tables, identical ordering to the reference
 # (incr_x/y/z, `octree.cpp:11-13`): z fastest, then y, then x.
-CORNER_OFFSETS = jnp.array(
+CORNER_OFFSETS = _np.array(
     [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
-     [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], dtype=jnp.int32)
+     [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], dtype=_np.int32)
 
 
 class MapState(NamedTuple):

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from proudslam_tpu.config import DecoderSettings, RenderSettings
 from proudslam_tpu.models.decoder import decoder_values
-from proudslam_tpu.ops.intersect import ray_intersect
+from proudslam_tpu.ops.intersect import ray_intersect, ray_intersect_dda
 from proudslam_tpu.ops.interp import gather_ray_features, gather_voxel_features
 from proudslam_tpu.ops.sampling import RaySamples, sample_rays_in_segments
 
@@ -78,12 +78,15 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     """
     from proudslam_tpu.ops.voxel_hash import unpack_key
 
-    V = map_state.voxel_keys.shape[0]
-    centers = (unpack_key(map_state.voxel_keys).astype(jnp.float32)
-               + 0.5) * settings.voxel_size
-    voxel_valid = jnp.arange(V, dtype=jnp.int32) < map_state.num_voxels
-
-    inter = ray_intersect(rays_o, rays_d, centers, voxel_valid, settings)
+    if settings.intersect_mode == "dda":
+        inter = ray_intersect_dda(rays_o, rays_d, map_state.voxel_keys,
+                                  map_state.num_voxels, settings)
+    else:
+        V = map_state.voxel_keys.shape[0]
+        centers = (unpack_key(map_state.voxel_keys).astype(jnp.float32)
+                   + 0.5) * settings.voxel_size
+        voxel_valid = jnp.arange(V, dtype=jnp.int32) < map_state.num_voxels
+        inter = ray_intersect(rays_o, rays_d, centers, voxel_valid, settings)
     samples: RaySamples = sample_rays_in_segments(inter, settings, noise)
 
     # depths / indices are non-differentiable w.r.t. pose (reference

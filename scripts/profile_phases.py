@@ -1,13 +1,18 @@
 """Per-phase wall timing of the SLAM frame loop on the real device.
 
-Times each jitted step (track / write / map / insert) with
+Times each jitted step (upload / track / write / map / insert) with
 ``block_until_ready`` fences over a few warm frames — the TPU analog of the
 reference's named tick/tok profiler categories (`src/utils/profile_util.py`,
 `tracking.py:128-157`). Async dispatch means the normal loop overlaps these
 phases; fencing serializes them, so the per-phase numbers are upper bounds
 and their sum exceeds the pipelined frames/s of `bench.py`.
 
-Usage: python scripts/profile_phases.py [n_frames]
+The map is pre-grown to the reference's operating scale (>=10k voxels) by
+inserting strided ground-truth depth clouds before profiling, so the
+numbers reflect the scale the bench runs at, without replaying the whole
+sequence under fences.
+
+Usage: python scripts/profile_phases.py [n_frames] [pregrow_stride]
 """
 
 import os
@@ -22,43 +27,47 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from bench import load_or_make_dataset
-    from proudslam_tpu.config import (
-        DecoderSettings, LossSettings, MapSettings, MapperSettings,
-        RenderSettings, SystemSettings, TrackerSettings)
+    from bench import bench_settings, load_or_make_dataset
     from proudslam_tpu.engine.slam import SlamSystem
+    from proudslam_tpu.geometry import se3
 
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    pregrow_stride = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 
-    settings = SystemSettings(
-        render=RenderSettings(voxel_size=0.2, step_size=0.02, truncation=0.1,
-                              max_distance=10.0, max_hits=12, max_samples=40),
-        map=MapSettings(voxel_size=0.2, num_embeddings=20000, embed_dim=16,
-                        voxel_capacity=20000, frame_voxel_capacity=2048),
-        decoder=DecoderSettings(depth=2, width=128, in_dim=16, sdf_dim=128),
-        tracker=TrackerSettings(n_rays=1024, num_iterations=30,
-                                learning_rate=0.01),
-        mapper=MapperSettings(n_rays_each=1024, window_size=4,
-                              num_iterations=10, keyframe_gap=50,
-                              max_keyframes=64, init_iterations=100),
-        loss=LossSettings(),
-    )
-    ds = load_or_make_dataset(20, 320, 240)
+    settings = bench_settings()
+    ds = load_or_make_dataset()
     slam = SlamSystem(settings, ds.intrinsics, (ds.height, ds.width), seed=0,
                       point_stride=2)
 
-    _, rgb, depth, _, pose0 = ds[0]
+    rgb0, depth0 = ds.dequantized(0)
     t0 = time.perf_counter()
-    slam.initialize(rgb, depth, pose0, stamp=0)
+    slam.initialize(rgb0, depth0, ds.get_init_pose(), stamp=0)
     jax.block_until_ready(slam.map_state.embeddings)
     print(f"init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # pre-grow the map to bench scale with ground-truth-pose insertions
+    t0 = time.perf_counter()
+    for i in range(0, len(ds), pregrow_stride):
+        _, _, depth, _, pose = ds[i]
+        _, depth_d = slam.upload_frame(np.zeros((1, 1, 3), np.uint8)
+                                       * np.uint8(0), depth)
+        pose6 = se3.tangent_from_matrix(jnp.asarray(pose, jnp.float32))
+        slam.map_state = slam._insert(slam.map_state, depth_d, pose6)
+    jax.block_until_ready(slam.map_state.voxel_keys)
+    c = slam.counters()
+    print(f"pregrow: {time.perf_counter() - t0:.1f}s -> "
+          f"{c['num_voxels']} voxels, {c['num_cells']} cells",
+          file=sys.stderr)
+    slam.num_kf = min(9, settings.mapper.max_keyframes - 2)
+    slam.kf_stamps = list(range(0, slam.num_kf * 51, 51))
 
     acc = {"upload": 0.0, "track": 0.0, "write": 0.0, "map": 0.0,
            "insert": 0.0}
     timed = 0
-    for i in range(1, n_frames):
+    base = 400
+    for i in range(base, base + n_frames):
         _, rgb, depth, _, _ = ds[i]
-        warm = i >= 3
+        warm = i - base >= 3
 
         t = time.perf_counter()
         rgb_d, depth_d = slam.upload_frame(rgb, depth)
@@ -66,7 +75,6 @@ def main():
         if warm:
             acc["upload"] += time.perf_counter() - t
 
-        slam._maybe_prewarm_window(i)
         view = slam._render_view()
 
         t = time.perf_counter()
@@ -101,10 +109,6 @@ def main():
         if warm:
             acc["insert"] += time.perf_counter() - t
 
-        if i - slam.kf_stamps[slam.num_kf - 1] > settings.mapper.keyframe_gap \
-                and slam.num_kf < settings.mapper.max_keyframes - 1:
-            slam.num_kf += 1
-            slam.kf_stamps.append(i)
         slam._append_trajectory(slot)
         slam.last_pose6 = refined
         if warm:
@@ -118,7 +122,7 @@ def main():
               f"({100 * v / total:4.1f}%)")
     print(f"  {'total':>7}: {1000 * total / timed:7.2f} ms  "
           f"(pipelined bench will be faster)")
-    print(f"num_voxels={int(slam.map_state.num_voxels)}")
+    print(f"counters: {slam.counters()}")
 
 
 if __name__ == "__main__":

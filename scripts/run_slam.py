@@ -89,8 +89,11 @@ def main():
         slam.process_frame(i, rgb, depth)
         if i % 25 == 0:
             fps = (i - start + 1) / (time.perf_counter() - t0)
+            c = slam.counters()
             print(f"frame {i}/{end}  {fps:.2f} fps  "
-                  f"voxels={int(slam.map_state.num_voxels)} kf={slam.num_kf}")
+                  f"voxels={c['num_voxels']}/{c['voxel_capacity']} "
+                  f"cells={c['num_cells']}/{c['cell_capacity']} "
+                  f"kf={slam.num_kf}")
         if render_freq > 0 and (i + 1) % render_freq == 0:
             # rendered-vs-gt panel (reference `render_debug_images`,
             # tracking.py:161-215)

@@ -96,3 +96,45 @@ def test_sample_frame_pixels_respects_mask():
     mask = jnp.zeros((100,)).at[10:20].set(1.0)
     idx = np.asarray(sample_frame_pixels(key, mask, 8))
     assert np.all((idx >= 10) & (idx < 20))
+
+
+def test_sortfree_matches_sort_oracle():
+    """The rank-merge sampler must match the jnp.sort formulation exactly."""
+    import numpy as np
+    from proudslam_tpu.config import RenderSettings
+    from proudslam_tpu.ops.intersect import Intersections
+    from proudslam_tpu.ops.sampling import (
+        sample_rays_in_segments, sample_rays_in_segments_sort)
+
+    rng = np.random.default_rng(7)
+    for adaptive in (True, False):
+        s = RenderSettings(voxel_size=0.2, step_size=0.05, max_hits=6,
+                           max_samples=30, max_distance=10.0,
+                           adaptive_step=adaptive)
+        R, H = 64, 6
+        # random sorted non-overlapping segments; some rays fully invalid,
+        # some segments zero-length
+        t0 = np.sort(rng.uniform(0.2, 5.0, (R, H)), axis=1)
+        ln = rng.uniform(0.0, 0.4, (R, H))
+        ln[rng.random((R, H)) < 0.2] = 0.0
+        nvalid = rng.integers(0, H + 1, (R,))
+        vidx = np.where(np.arange(H)[None, :] < nvalid[:, None],
+                        rng.integers(0, 100, (R, H)), -1)
+        tn = np.where(vidx >= 0, t0, s.max_distance)
+        tf = np.where(vidx >= 0, t0 + ln, s.max_distance)
+        inter = Intersections(
+            t_near=jnp.asarray(tn, jnp.float32),
+            t_far=jnp.asarray(tf, jnp.float32),
+            voxel_idx=jnp.asarray(vidx, jnp.int32),
+            hit_mask=jnp.asarray(nvalid > 0))
+        noise = jnp.asarray(rng.uniform(0.01, 0.99, (R, s.max_samples - H)),
+                            jnp.float32)
+        a = sample_rays_in_segments(inter, s, noise)
+        b = sample_rays_in_segments_sort(inter, s, noise)
+        np.testing.assert_array_equal(np.asarray(a.voxel_idx),
+                                      np.asarray(b.voxel_idx))
+        np.testing.assert_array_equal(np.asarray(a.bin), np.asarray(b.bin))
+        np.testing.assert_allclose(np.asarray(a.depth), np.asarray(b.depth),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a.dist), np.asarray(b.dist),
+                                   atol=1e-5)
