@@ -33,7 +33,8 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 N_FRAMES = 480
 WIDTH, HEIGHT = 320, 240
-RADIUS = 1.4
+RADIUS = 1.6
+SCENE_VERSION = 5   # bump when AnalyticScene / trajectory changes
 
 
 def log(msg):
@@ -47,8 +48,9 @@ def load_or_make_dataset(n_frames=N_FRAMES, width=WIDTH, height=HEIGHT):
 
     if os.path.exists(CACHE):
         data = np.load(CACHE)
+        ver = int(data["scene_version"]) if "scene_version" in data.files else 1
         if (int(data["n"]) == n_frames and int(data["w"]) == width
-                and int(data["h"]) == height):
+                and int(data["h"]) == height and ver == SCENE_VERSION):
             log("bench: using cached dataset")
             ds = BenchDataset.__new__(BenchDataset)
             ds.width, ds.height = width, height
@@ -66,7 +68,8 @@ def load_or_make_dataset(n_frames=N_FRAMES, width=WIDTH, height=HEIGHT):
     ds = BenchDataset(num_frames=n_frames, width=width, height=height,
                       radius=RADIUS)
     np.savez_compressed(
-        CACHE, n=n_frames, w=width, h=height, max_depth=ds.max_depth,
+        CACHE, n=n_frames, w=width, h=height, scene_version=SCENE_VERSION,
+        max_depth=ds.max_depth,
         poses=np.stack(ds.poses),
         rgb=np.stack([f[0] for f in ds.frames]),
         depth=np.stack([f[1] for f in ds.frames]))
@@ -78,17 +81,23 @@ def bench_settings():
         DecoderSettings, LossSettings, MapSettings, MapperSettings,
         RenderSettings, SystemSettings, TrackerSettings)
 
+    # Full reference sample budget: step 0.02 m with enough sample slots
+    # that `adaptive_step` never coarsens a typical ray (the reference
+    # draws ~arc/0.02 samples uncapped, `voxel_helpers.py:637-663`), and
+    # the V-independent DDA intersection (single executable for the whole
+    # run — no bucket-growth recompiles).
     return SystemSettings(
         render=RenderSettings(voxel_size=0.2, step_size=0.02, truncation=0.1,
-                              max_distance=10.0, max_hits=12, max_samples=40),
+                              max_distance=10.0, max_hits=16, max_samples=96,
+                              intersect_mode="dda"),
         map=MapSettings(voxel_size=0.2, num_embeddings=40960, embed_dim=16,
                         voxel_capacity=20480, frame_voxel_capacity=4096),
         decoder=DecoderSettings(depth=2, width=128, in_dim=16, sdf_dim=128),
         tracker=TrackerSettings(n_rays=1024, num_iterations=30,
                                 learning_rate=0.01),
         mapper=MapperSettings(n_rays_each=1024, window_size=4,
-                              num_iterations=10, keyframe_gap=50,
-                              max_keyframes=64, init_iterations=100),
+                              num_iterations=10, keyframe_gap=25,
+                              max_keyframes=64, init_iterations=200),
         loss=LossSettings(),
     )
 
@@ -106,6 +115,9 @@ def main():
 
     th = threading.Thread(target=_warmup, daemon=True)
     th.start()
+
+    from proudslam_tpu.utils import compile_cache
+    compile_cache.enable()
 
     from proudslam_tpu.engine.slam import SlamSystem
     from proudslam_tpu.utils.metrics import ate_rmse, rpe_rmse

@@ -187,6 +187,17 @@ class TrackerSettings:
     num_iterations: int = 30
     learning_rate: float = 0.01
     depth_variance: bool = True      # tracking.py:146 (weight_depth_loss)
+    # initial pose guess for each frame: "velocity" extrapolates the last
+    # inter-frame motion (standard SLAM constant-velocity prior);
+    # "position" is the reference's constant-position prior
+    # (`tracking.py:130-131` starts from the previous frame's pose), which
+    # systematically lags the optimizer along weakly-observable directions.
+    motion_model: str = "velocity"
+    # exponential per-iteration lr decay: lr_i = lr * final_lr_frac^(i/(N-1)).
+    # The final iterate of a fixed-lr Adam run on stochastic ray batches
+    # oscillates with ~lr amplitude (~1 cm at lr 0.01); decaying to
+    # lr*frac anneals that noise out. 1.0 = reference behavior (fixed lr).
+    final_lr_frac: float = 0.1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -200,6 +211,19 @@ class MapperSettings:
     decoder_lr: float = 5e-3         # mapping.py:82
     pose_lr: float = 1e-3            # frame.py:27
     init_iterations: int = 30        # first-frame map warmup steps
+    # denser keyframes while the map is immature: the first
+    # ``early_keyframes`` commits use ``early_keyframe_gap`` instead of
+    # ``keyframe_gap`` — early tracking errors otherwise bake a permanent
+    # offset into the map gauge before the first regular commit
+    early_keyframe_gap: int = 12
+    early_keyframes: int = 3
+    # also commit when the camera has rotated this many degrees since the
+    # last keyframe (0 disables). The reference's stamp-gap-only rule
+    # (`mapping.py:136`) under-anchors fast pans into unmapped territory —
+    # its overlap-based alternative exists only as dead code
+    # (`mapping.py:52`, `octree.cpp:381-417`); rotation-triggered commits
+    # are the standard motion-based keyframing fix.
+    keyframe_rotation_deg: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -270,6 +294,8 @@ def settings_from_config(cfg: Config) -> SystemSettings:
         num_iterations=trk.get("num_iterations", 30),
         learning_rate=trk.get("learning_rate", 0.01),
         depth_variance=bool(trk.get("depth_variance", True)),
+        motion_model=trk.get("motion_model", "velocity"),
+        final_lr_frac=trk.get("final_lr_frac", 0.1),
     )
     mapper = MapperSettings(
         n_rays_each=mpr.get("N_rays_each", 1024),
@@ -278,6 +304,9 @@ def settings_from_config(cfg: Config) -> SystemSettings:
         keyframe_gap=mpr.get("keyframe_gap", 50),
         max_keyframes=tpu.get("max_keyframes", 256),
         init_iterations=tpu.get("init_iterations", 30),
+        early_keyframe_gap=tpu.get("early_keyframe_gap", 12),
+        early_keyframes=tpu.get("early_keyframes", 3),
+        keyframe_rotation_deg=tpu.get("keyframe_rotation_deg", 10.0),
     )
     loss = LossSettings(
         rgb_weight=crit.get("rgb_weight", 0.5),

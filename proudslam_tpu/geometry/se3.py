@@ -116,6 +116,23 @@ def matrix_from_tangent(pose6: jnp.ndarray) -> jnp.ndarray:
     return Rt
 
 
+def inverse_matrix(Rt: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form SE(3) inverse: [R t; 0 1]^-1 = [R^T -R^T t; 0 1].
+
+    Exact (no LU factorization, no MXU rounding) and cheaper than
+    ``jnp.linalg.inv`` for rigid transforms.
+    """
+    R = Rt[..., :3, :3]
+    t = Rt[..., :3, 3]
+    Rinv = jnp.swapaxes(R, -2, -1)
+    tinv = -jnp.einsum("...ij,...j->...i", Rinv, t)
+    out = jnp.zeros_like(Rt)
+    out = out.at[..., :3, :3].set(Rinv)
+    out = out.at[..., :3, 3].set(tinv)
+    out = out.at[..., 3, 3].set(1.0)
+    return out
+
+
 def tangent_from_matrix(Rt: jnp.ndarray) -> jnp.ndarray:
     """(..., 4, 4) -> (..., 6) (reference `se3pose.py:50-59`)."""
     w = log_rotation(Rt[..., :3, :3])

@@ -94,17 +94,28 @@ def unpack_grads(g: FusedParams, settings: DecoderSettings) -> dict:
     }
 
 
+# The package-global jax_default_matmul_precision=highest (set for the
+# geometry paths — see proudslam_tpu/__init__.py) would make Mosaic emulate
+# every in-kernel f32 dot with multi-pass scratch, blowing the 16 MB scoped
+# VMEM budget. The decoder tolerates single-pass MXU precision (ATE is
+# unchanged — verified on the synthetic bench), so pin it explicitly.
+_PREC = jax.lax.Precision.DEFAULT
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_PREC)
+
+
 def _fwd_tile(x, p: Tuple[jnp.ndarray, ...]):
     (w1, b1, w2, b2, ws, bs, wc_f, wc_x, bc, wo, bo) = p
-    f32 = jnp.float32
-    h1 = jax.nn.relu(jnp.dot(x, w1, preferred_element_type=f32) + b1)
-    h2 = jax.nn.relu(jnp.dot(h1, w2, preferred_element_type=f32) + b2)
-    so = jnp.dot(h2, ws, preferred_element_type=f32) + bs
+    h1 = jax.nn.relu(_dot(x, w1) + b1)
+    h2 = jax.nn.relu(_dot(h1, w2) + b2)
+    so = _dot(h2, ws) + bs
     feat = so[:, :-1]
     sdf = so[:, -1:]
-    hc = jax.nn.relu(jnp.dot(feat, wc_f, preferred_element_type=f32)
-                     + jnp.dot(x, wc_x, preferred_element_type=f32) + bc)
-    rgb = jax.nn.sigmoid(jnp.dot(hc, wo, preferred_element_type=f32) + bo)
+    hc = jax.nn.relu(_dot(feat, wc_f) + _dot(x, wc_x) + bc)
+    rgb = jax.nn.sigmoid(_dot(hc, wo) + bo)
     return h1, h2, feat, sdf, hc, rgb
 
 
@@ -137,36 +148,37 @@ def _bwd_kernel(x_ref, g_ref, w1, b1, w2, b2, ws, bs, wc_f, wc_x, bc, wo, bo,
     f32 = jnp.float32
     cdims = (((0,), (0,)), ((), ()))        # contract the sample axis
 
+    def _dotg(a, b):
+        return jax.lax.dot_general(a, b, cdims, preferred_element_type=f32,
+                                   precision=_PREC)
+
     g_rgb = g[:, 0:3]
     g_sdf = g[:, 3:4]
     dzo = g_rgb * rgb * (1.0 - rgb)
-    dwo[:] += jax.lax.dot_general(hc, dzo, cdims, preferred_element_type=f32)
+    dwo[:] += _dotg(hc, dzo)
     dbo[:] += jnp.sum(dzo, axis=0, keepdims=True)
-    dhc = jnp.dot(dzo, wo[:].T, preferred_element_type=f32)
+    dhc = _dot(dzo, wo[:].T)
     dhc = dhc * (hc > 0)
 
-    dwc_f[:] += jax.lax.dot_general(feat, dhc, cdims,
-                                    preferred_element_type=f32)
-    dwc_x[:] += jax.lax.dot_general(x, dhc, cdims,
-                                    preferred_element_type=f32)
+    dwc_f[:] += _dotg(feat, dhc)
+    dwc_x[:] += _dotg(x, dhc)
     dbc[:] += jnp.sum(dhc, axis=0, keepdims=True)
-    dfeat = jnp.dot(dhc, wc_f[:].T, preferred_element_type=f32)
+    dfeat = _dot(dhc, wc_f[:].T)
 
     dso = jnp.concatenate([dfeat, g_sdf], axis=1)
-    dws[:] += jax.lax.dot_general(h2, dso, cdims, preferred_element_type=f32)
+    dws[:] += _dotg(h2, dso)
     dbs[:] += jnp.sum(dso, axis=0, keepdims=True)
-    dh2 = jnp.dot(dso, ws[:].T, preferred_element_type=f32)
+    dh2 = _dot(dso, ws[:].T)
     dh2 = dh2 * (h2 > 0)
 
-    dw2[:] += jax.lax.dot_general(h1, dh2, cdims, preferred_element_type=f32)
+    dw2[:] += _dotg(h1, dh2)
     db2[:] += jnp.sum(dh2, axis=0, keepdims=True)
-    dh1 = jnp.dot(dh2, w2[:].T, preferred_element_type=f32)
+    dh1 = _dot(dh2, w2[:].T)
     dh1 = dh1 * (h1 > 0)
 
-    dw1[:] += jax.lax.dot_general(x, dh1, cdims, preferred_element_type=f32)
+    dw1[:] += _dotg(x, dh1)
     db1[:] += jnp.sum(dh1, axis=0, keepdims=True)
-    dx_ref[:] = (jnp.dot(dh1, w1[:].T, preferred_element_type=f32)
-                 + jnp.dot(dhc, wc_x[:].T, preferred_element_type=f32))
+    dx_ref[:] = _dot(dh1, w1[:].T) + _dot(dhc, wc_x[:].T)
 
 
 def _param_specs():

@@ -49,6 +49,9 @@ def main():
     parser.add_argument("--no-mesh", action="store_true")
     args, extra = parser.parse_known_args()
 
+    from proudslam_tpu.utils import compile_cache
+    compile_cache.enable()
+
     from proudslam_tpu.config import load_config, settings_from_config
     from proudslam_tpu.data.registry import get_dataset
     from proudslam_tpu.engine.slam import SlamSystem
