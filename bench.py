@@ -34,7 +34,7 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 N_FRAMES = 480
 WIDTH, HEIGHT = 320, 240
 RADIUS = 1.6
-SCENE_VERSION = 5   # bump when AnalyticScene / trajectory changes
+SCENE_VERSION = 6   # bump when AnalyticScene / trajectory changes
 
 
 def log(msg):

@@ -160,6 +160,13 @@ def _analytic_boxes():
         else:
             centers.append([5.82 if k % 2 == 0 else -5.82, y, off])
             halves.append([0.18, 0.5, 0.8])
+    # floor/ceiling beams (structure on the two biggest flat surfaces)
+    for k in range(3):
+        off = -3.0 + 3.0 * k
+        centers.append([off, -1.45, 0.0])
+        halves.append([0.16, 0.16, 5.4])
+        centers.append([0.0, 1.45, off])
+        halves.append([5.4, 0.16, 0.16])
     return np.array(centers), np.array(halves)
 
 
@@ -371,7 +378,7 @@ class BenchDataset:
         # Replica-class statistics; see orbit_poses on why revisit-heavy
         # scanning is the reference workload regime
         self.poses = orbit_poses(num_frames, radius=radius,
-                                 total_yaw=np.pi, yaw_wobble=0.8,
+                                 total_yaw=np.pi, yaw_wobble=1.0,
                                  yaw_cycles=3.0, pitch_wobble=0.22,
                                  pitch_cycles=4.0)
         self.depth_quant = 65535.0 / max_depth

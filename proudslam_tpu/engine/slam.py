@@ -384,13 +384,22 @@ class SlamSystem:
         mapping step's compute before the first commits. map_step is
         generic over the slot count, so each live count compiles its own
         (small number of) executables; `_maybe_prewarm_window` compiles the
-        next size in the background ahead of each keyframe commit."""
+        next size in the background ahead of each keyframe commit.
+
+        The latest committed keyframe is always included: it is the one
+        covisible with the current frame, anchoring the map frontier where
+        tracking is happening (uniform random selection over a long run's
+        keyframes rarely picks it, letting the frontier drift with the
+        provisional frame alone — the reference's pure-random rule,
+        `mapping.py:220-234`, is tuned for its ~10-keyframe runs)."""
         w = self.settings.mapper.window_size
         committed = list(range(self.num_kf))
         if len(committed) <= w:
             window = committed
         else:
-            window = list(self.rng.choice(committed, size=w, replace=False))
+            last = self.num_kf - 1
+            rest = self.rng.choice(committed[:-1], size=w - 1, replace=False)
+            window = sorted(set(list(rest) + [last]))
         slot = min(self.num_kf, self.settings.mapper.max_keyframes - 1)
         sel = window + [slot]                 # provisional slot last
         return (jnp.asarray(sel, dtype=jnp.int32),
@@ -511,6 +520,32 @@ class SlamSystem:
         if return_pose:
             return np.asarray(se3.matrix_from_tangent(refined))
         return None
+
+    @staticmethod
+    def validate_frame(rgb: np.ndarray, depth: np.ndarray) -> None:
+        """Reject corrupt sensor frames before they poison the map.
+
+        Mirrors the reference's per-frame guards: the ARKit loader raises
+        on all-zero depth (`arkit.py:44-45`) and the tracker skips frames
+        whose processing throws (`tracking.py:76-102`). NaN/Inf inputs
+        would otherwise propagate through the losses silently.
+        """
+        rgb = np.asarray(rgb)
+        depth = np.asarray(depth)
+        if not np.isfinite(rgb).all():
+            raise ValueError("rgb contains non-finite values")
+        if not np.isfinite(depth).all():
+            raise ValueError("depth contains non-finite values")
+        if float(np.abs(depth).sum()) == 0.0:
+            raise ValueError("all-zero depth frame")
+
+    def skip_frame(self, stamp: int) -> None:
+        """Record a skipped (corrupt) frame: repeat the last trajectory
+        entry so the estimated trajectory stays index-aligned with the
+        input sequence (the reference simply drops the frame, silently
+        desynchronizing its trajectory from ground truth)."""
+        if self.frame_poses:
+            self.frame_poses.append(self.frame_poses[-1])
 
     def finalize(self, final_rounds: int = 0):
         """Optional final refinement with frozen poses/decoder

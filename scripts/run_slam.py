@@ -41,6 +41,61 @@ def parse_overrides(extra):
     return out
 
 
+def accumulate_depth_cloud(dataset, traj, start, settings,
+                           max_frames: int = 60, pixel_stride: int = 4):
+    """Bounded world-space depth point cloud over the run, for mesh
+    cleaning (reference accumulates per-frame clouds and voxel-downsamples
+    them, `mesh_util.py:22-26,90-102`).
+
+    Backprojects a strided subset of frames at the *final* optimized
+    trajectory poses. Accumulation is deduplicated through the native
+    ``PointStore`` voxel hash (SURVEY.md N2) when the C++ extension is
+    available, with a pure-numpy downsample fallback.
+    """
+    import numpy as np
+
+    n = len(traj)
+    frame_stride = max(1, n // max_frames)
+    fx, fy, cx, cy = dataset.intrinsics
+
+    store = None
+    try:
+        from proudslam_tpu.native import PointStore, native_available
+        if native_available():
+            store = PointStore(settings.map.voxel_size * 0.25,
+                               max_voxels=1 << 19, points_per_voxel=2)
+    except Exception:
+        store = None
+    chunks = []
+    for j in range(0, n, frame_stride):
+        try:
+            _, _, depth, _, _ = dataset[start + j]
+        except Exception:
+            continue
+        d = np.asarray(depth)[::pixel_stride, ::pixel_stride]
+        h, w = d.shape
+        iy, ix = np.mgrid[0:h, 0:w] * pixel_stride
+        dirs = np.stack([(ix - cx) / fx, (iy - cy) / fy, np.ones_like(d)],
+                        axis=-1)
+        pts_cam = (dirs * d[..., None]).reshape(-1, 3)
+        valid = d.reshape(-1) > 0
+        T = traj[j]
+        pts = pts_cam[valid] @ T[:3, :3].T + T[:3, 3]
+        if store is not None:
+            store.insert(pts.astype(np.float32))
+        else:
+            chunks.append(pts.astype(np.float32))
+    if store is not None:
+        xyz, _, counts = store.export_points()
+        mask = (np.arange(xyz.shape[1])[None, :] < counts[:, None])
+        return xyz[mask]
+    if not chunks:
+        return None
+    from proudslam_tpu.mesher import downsample_points
+    return downsample_points(np.concatenate(chunks),
+                             cell=settings.map.voxel_size * 0.25)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("config")
@@ -87,8 +142,19 @@ def main():
     render_res = cfg.get("debug_args", {}).get("render_res", [200, 160])
 
     t0 = time.perf_counter()
+    skipped = 0
     for i in range(start, end):
-        _, rgb, depth, _, _ = dataset[i]
+        # per-frame fault guard: a corrupt/unreadable frame is skipped and
+        # the run continues (reference `tracking.py:76-102`)
+        try:
+            _, rgb, depth, _, _ = dataset[i]
+            slam.validate_frame(rgb, depth)
+        except Exception as e:
+            skipped += 1
+            print(f"frame {i}: skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+            slam.skip_frame(i)
+            continue
         slam.process_frame(i, rgb, depth)
         if i % 25 == 0:
             fps = (i - start + 1) / (time.perf_counter() - t0)
@@ -128,18 +194,27 @@ def main():
     if gt is not None:
         gt = np.asarray(gt).reshape(-1, 4, 4)[:len(traj)]
         ate = ate_rmse(traj, gt, align=False) * 100
-        print(f"ATE RMSE: {ate:.3f} cm")
-        logger.log_metrics(end, {"ate_rmse_cm": ate})
+        ate_al = ate_rmse(traj, gt, align=True) * 100
+        print(f"ATE RMSE: {ate:.3f} cm (aligned {ate_al:.3f} cm)")
+        logger.log_metrics(end, {"ate_rmse_cm": ate,
+                                 "ate_rmse_aligned_cm": ate_al,
+                                 "skipped_frames": skipped})
 
     save_checkpoint(f"{logger.ckpt_dir}/final_ckpt.npz", slam)
 
     if not args.no_mesh:
         from proudslam_tpu.mesher import extract_mesh
+        depth_points = None
+        if cfg.get("mapper_specs", {}).get("mesh_clean", True):
+            depth_points = accumulate_depth_cloud(
+                dataset, traj, start, settings)
         mesh = extract_mesh(slam.map_state, slam.decoder_params,
                             settings.map, settings.decoder,
-                            res=cfg.get("mapper_specs", {}).get("mesh_res", 8))
+                            res=cfg.get("mapper_specs", {}).get("mesh_res", 8),
+                            depth_points=depth_points)
         logger.log_mesh(mesh)
-        print(f"mesh: {len(mesh.verts)} verts, {len(mesh.faces)} faces")
+        print(f"mesh: {len(mesh.verts)} verts, {len(mesh.faces)} faces"
+              + (" (cleaned)" if depth_points is not None else ""))
 
     print(f"artifacts in {logger.dir}")
 

@@ -83,3 +83,32 @@ def test_slam_end_to_end(dataset):
     # surface accuracy: mesh vertices near the true scene surface
     d = np.abs(dataset.scene.sdf(mesh.verts.astype(np.float64)))
     assert np.median(d) < 0.05, f"median surface dist {np.median(d):.3f}"
+
+    # --- mesh cleaning against the observed depth cloud ------------------
+    # (reference `mesh_util.py:90-102`; wired via run_slam's
+    # accumulate_depth_cloud). Observed cloud = backprojected gt depth of a
+    # few frames; faces whose vertices are all far from any observation
+    # (hallucinated/unseen regions) must be removed.
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__), _os.pardir,
+                                      "scripts"))
+    from run_slam import accumulate_depth_cloud
+    cloud = accumulate_depth_cloud(dataset, est, 0, s, max_frames=6,
+                                   pixel_stride=2)
+    assert cloud is not None and len(cloud) > 500
+    clean = extract_mesh(slam.map_state, slam.decoder_params, s.map,
+                         s.decoder, res=6, depth_points=cloud,
+                         require_color=False)
+    assert len(clean.faces) <= len(mesh.faces)
+    # postcondition: every kept face has a vertex near the observed cloud
+    from scipy.spatial import cKDTree
+    tree = cKDTree(cloud)
+    radius = s.map.voxel_size * 0.5
+    dist, _ = tree.query(clean.verts)
+    near = dist <= radius
+    assert near[clean.faces].any(axis=-1).all()
+    # and cleaning actually removes something: vertices exist that are far
+    # from the cloud in the raw mesh (unobserved wall sections)
+    dist_raw, _ = tree.query(mesh.verts)
+    if (dist_raw > radius).any():
+        assert len(clean.faces) < len(mesh.faces)
