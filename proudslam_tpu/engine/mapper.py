@@ -62,7 +62,7 @@ def map_step(map_state: vh.MapState, decoder_params,
              sel_idx: jnp.ndarray, sel_valid: jnp.ndarray,
              key: jax.Array, settings: SystemSettings,
              update_pose: bool = True, update_decoder: bool = True,
-             ) -> MapStepResult:
+             mesh=None) -> MapStepResult:
     """One mapping round (= one reference ``do_mapping`` call).
 
     Args:
@@ -72,7 +72,11 @@ def map_step(map_state: vh.MapState, decoder_params,
       sel_valid: (W+1,) bool — live entries of sel_idx.
       update_pose/update_decoder: static; the final-refinement mode freezes
         poses and decoder (reference `mapping.py:158-163`).
+      mesh: optional ("dp", "mp") mesh — per-frame ray batches shard over
+        dp, the embedding table over mp (`parallel/engine.py`).
     """
+    from proudslam_tpu.parallel.engine import shard_embeddings, shard_ray_batch
+
     mpr = settings.mapper
     rnd = settings.render
     n_rays = mpr.n_rays_each
@@ -115,6 +119,8 @@ def map_step(map_state: vh.MapState, decoder_params,
         gt_c = jnp.take_along_axis(sel_rgb, pix[..., None], axis=1)
         gt_d = jnp.take_along_axis(sel_depth, pix, axis=1)
         noise = jax.random.uniform(k_noise, (Wsel, n_rays, SJ))
+        dirs, gt_c, gt_d, noise = shard_ray_batch(
+            mesh, 1, dirs, gt_c, gt_d, noise)
 
         loss, (g_emb, g_dec, g_pose) = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2))(
@@ -131,7 +137,7 @@ def map_step(map_state: vh.MapState, decoder_params,
         return (embeddings, dec_params, poses, pm, pv, pt,
                 embed_opt, dec_opt, k), loss
 
-    init = (map_state.embeddings, decoder_params,
+    init = (shard_embeddings(mesh, map_state.embeddings), decoder_params,
             store.poses[sel_idx],
             store.pose_adam.m[sel_idx], store.pose_adam.v[sel_idx],
             store.pose_adam.t[sel_idx],

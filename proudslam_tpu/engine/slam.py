@@ -50,7 +50,19 @@ class SlamSystem:
     def __init__(self, settings: SystemSettings,
                  intrinsics: Tuple[float, float, float, float],
                  image_hw: Tuple[int, int], seed: int = 0,
-                 point_stride: int = 1):
+                 point_stride: int = 1, mesh=None):
+        """``mesh``: optional ("dp", "mp") `jax.sharding.Mesh` — runs the
+        full engine SPMD: ray batches data-parallel over dp, the vertex
+        embedding table row-sharded over mp (`parallel/engine.py`). The
+        program text is identical to single-device; XLA GSPMD inserts the
+        collectives. The fused Pallas decoder kernel is single-device and
+        is swapped for the XLA path under a mesh."""
+        if mesh is not None and mesh.size > 1:
+            import dataclasses
+            settings = dataclasses.replace(
+                settings, decoder=dataclasses.replace(
+                    settings.decoder, use_fused_mlp=False))
+        self.mesh = mesh
         self.settings = settings
         self.height, self.width = image_hw
         fx, fy, cx, cy = intrinsics
@@ -67,6 +79,24 @@ class SlamSystem:
         self.store = kfstate.init_keyframe_store(
             settings.mapper.max_keyframes, self.height, self.width)
 
+        if mesh is not None:
+            # initial state must live on the mesh's devices — jit rejects
+            # computations mixing arrays committed to different device sets.
+            # Embeddings start on their mp row shards; everything else is
+            # replicated (the in-step constraints shard the ray batches).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            emb_sh = NamedSharding(mesh, P("mp", None))
+            emb = jax.device_put(self.map_state.embeddings, emb_sh)
+            rest = jax.device_put(
+                self.map_state._replace(embeddings=jnp.zeros(())), rep)
+            self.map_state = rest._replace(embeddings=emb)
+            self.decoder_params = jax.device_put(self.decoder_params, rep)
+            self.opt = jax.device_put(self.opt, rep)
+            self.store = jax.device_put(self.store, rep)
+            self.rays_dir = jax.device_put(self.rays_dir, rep)
+            self._key = jax.device_put(self._key, rep)
+
         # host-side bookkeeping
         self.num_kf = 0                      # committed keyframes
         self.kf_stamps: List[int] = []
@@ -79,14 +109,15 @@ class SlamSystem:
         def _track_fn(map_state, decoder_params, prev_pose, rays_dir,
                       rgb, depth, key):
             return track_frame(map_state, decoder_params, prev_pose,
-                               rays_dir, rgb, depth, key, settings)
+                               rays_dir, rgb, depth, key, settings,
+                               mesh=mesh)
 
         def _map_fn(map_state, decoder_params, store, opt, rays_dir,
                     sel, valid, key, update_pose=True, update_decoder=True):
             return map_step(map_state, decoder_params, store, opt, rays_dir,
                             sel, valid, key, settings,
                             update_pose=update_pose,
-                            update_decoder=update_decoder)
+                            update_decoder=update_decoder, mesh=mesh)
 
         # NOTE: no jitted function may close over a device array — jax
         # embeds captured arrays as constants by fetching them to host,
@@ -136,7 +167,13 @@ class SlamSystem:
             return (rgb_q.astype(jnp.float32) * (1.0 / 255.0),
                     depth_q.astype(jnp.float32) * (1.0 / self._depth_quant))
 
-        self._decode_frame = jax.jit(_decode_fn)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            _rep = NamedSharding(mesh, P())
+            self._decode_frame = jax.jit(_decode_fn,
+                                         out_shardings=(_rep, _rep))
+        else:
+            self._decode_frame = jax.jit(_decode_fn)
 
         self._track = jax.jit(_track_fn)
         # (map_state itself is NOT donated: the bucketed view shares its

@@ -39,7 +39,8 @@ class TrackResult(NamedTuple):
 def track_frame(map_state: vh.MapState, decoder_params,
                 prev_pose: jnp.ndarray, rays_dir: jnp.ndarray,
                 rgb: jnp.ndarray, depth: jnp.ndarray,
-                key: jax.Array, settings: SystemSettings) -> TrackResult:
+                key: jax.Array, settings: SystemSettings,
+                mesh=None) -> TrackResult:
     """Track one RGB-D frame starting from the previous frame's pose.
 
     Args:
@@ -47,11 +48,19 @@ def track_frame(map_state: vh.MapState, decoder_params,
         motion model, reference `tracking.py:130-131`).
       rays_dir: (H, W, 3) camera-frame pixel ray directions.
       rgb: (H, W, 3); depth: (H, W).
+      mesh: optional ``jax.sharding.Mesh`` with ("dp", "mp") axes — ray
+        batches shard over dp, the embedding table over mp
+        (`parallel/engine.py`); None = single-device, no constraints.
     """
+    from proudslam_tpu.parallel.engine import shard_embeddings, shard_ray_batch
+
     trk = settings.tracker
     rnd = settings.render
     n_rays = trk.n_rays
     SJ = rnd.max_samples - rnd.max_hits
+
+    map_state = map_state._replace(
+        embeddings=shard_embeddings(mesh, map_state.embeddings))
 
     dirs_flat = rays_dir.reshape(-1, 3)
     rgb_flat = rgb.reshape(-1, 3)
@@ -79,6 +88,8 @@ def track_frame(map_state: vh.MapState, decoder_params,
         gt_c = rgb_flat[pix]
         gt_d = depth_flat[pix]
         noise = jax.random.uniform(k_noise, (n_rays, SJ))
+        dirs, gt_c, gt_d, noise = shard_ray_batch(
+            mesh, 0, dirs, gt_c, gt_d, noise)
 
         (loss, hit_ratio), grad = jax.value_and_grad(
             loss_fn, has_aux=True)(pose6, dirs, gt_c, gt_d, noise)
