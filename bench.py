@@ -88,11 +88,12 @@ def bench_settings():
     # run — no bucket-growth recompiles).
     return SystemSettings(
         render=RenderSettings(voxel_size=0.2, step_size=0.02, truncation=0.1,
-                              max_distance=10.0, max_hits=16, max_samples=96,
+                              max_distance=10.0, max_hits=12, max_samples=96,
                               intersect_mode="dda"),
         map=MapSettings(voxel_size=0.2, num_embeddings=40960, embed_dim=16,
                         voxel_capacity=20480, frame_voxel_capacity=4096),
-        decoder=DecoderSettings(depth=2, width=128, in_dim=16, sdf_dim=128),
+        decoder=DecoderSettings(depth=2, width=128, in_dim=16, sdf_dim=128,
+                                matmul_dtype="bf16"),
         tracker=TrackerSettings(n_rays=1024, num_iterations=30,
                                 learning_rate=0.01),
         mapper=MapperSettings(n_rays_each=1024, window_size=4,

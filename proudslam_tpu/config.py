@@ -150,6 +150,19 @@ class RenderSettings:
     dda_step_frac: float = 0.45
     # bound on |rays_d| (pinhole dirs are unit-z, norm <= ~1.22 at wide FOV)
     dda_dir_bound: float = 1.25
+    # sample feature source: "vox" = trilinear vertex-embedding blend (the
+    # reference's live path, `render_helpers.py:484`); "pcd" = PointNet over
+    # the sample's voxel's stored points with softmax inverse-distance
+    # blending (the reference's disabled branch, `render_helpers.py:168-238`,
+    # implemented in render/pcd_features.py — requires a VoxelPointStore and
+    # pointnet params)
+    feature_mode: str = "vox"
+    # per-iteration pixel batch sampler: "gumbel" = reference's top-k
+    # Gumbel without replacement (`sample_util.py:4-20`); "uniform" =
+    # independent uniform draws (identical distribution over the all-ones
+    # mask up to ~7 expected duplicates per 1024-batch, ~10x cheaper on
+    # TPU — see ops/sampling.py:sample_frame_pixels)
+    pixel_sampler: str = "uniform"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -163,6 +176,11 @@ class MapSettings:
     frame_voxel_capacity: int = 8192  # max unique new voxels per insertion
     # integer coordinate packing: coords biased by +2^(bits-1), bits per axis
     coord_bits: int = 10
+    # keep a per-voxel point cloud (VoxelPointStore) alongside the voxel
+    # hash — required by the "pcd" feature branch; mirrors the reference
+    # octree's <= max_num points per SURFACE leaf (`octree.cpp:175`)
+    store_points: bool = False
+    points_per_voxel: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -176,9 +194,17 @@ class DecoderSettings:
     skips: tuple = ()
     embedder: str = "none"
     multires: int = 0
-    # use the fused Pallas MLP kernel on TPU when the architecture allows
-    # (2.1x faster fwd+bwd than the XLA path on v5e; see ops/pallas/)
-    use_fused_mlp: bool = True
+    # use the fused Pallas MLP kernel on TPU when the architecture allows.
+    # Off by default: at render shapes (~100k x 16 features) the XLA path
+    # fuses the MLP into the surrounding gather/integration and measures
+    # ~1 ms/iteration FASTER than the standalone kernel (ablate_iter.py on
+    # v5e); the kernel remains for large standalone decodes (meshing).
+    use_fused_mlp: bool = False
+    # matmul compute dtype for the MLP: "bf16" runs the MXU at 2x f32
+    # throughput with f32 accumulation (preferred_element_type). Geometry
+    # (poses, point transforms) always stays f32 — the round-2 accuracy
+    # collapse came from bf16 *geometry*, not bf16 MLP activations.
+    matmul_dtype: str = "f32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -271,6 +297,8 @@ def settings_from_config(cfg: Config) -> SystemSettings:
         grid_dims=tuple(tpu.get("grid_dims", (192, 48, 192))),
         grid_origin=tuple(tpu.get("grid_origin", (-96, -24, -96))),
         dda_step_frac=tpu.get("dda_step_frac", 0.45),
+        pixel_sampler=tpu.get("pixel_sampler", "uniform"),
+        feature_mode=tpu.get("feature_mode", "vox"),
     )
     map_settings = MapSettings(
         voxel_size=voxel_size,
@@ -278,6 +306,8 @@ def settings_from_config(cfg: Config) -> SystemSettings:
         embed_dim=dec.get("in_dim", 16),
         voxel_capacity=tpu.get("voxel_capacity", 20000),
         frame_voxel_capacity=tpu.get("frame_voxel_capacity", 8192),
+        store_points=bool(tpu.get("store_points", False)),
+        points_per_voxel=tpu.get("points_per_voxel", 8),
     )
     decoder = DecoderSettings(
         depth=dec.get("depth", 2),
@@ -287,7 +317,8 @@ def settings_from_config(cfg: Config) -> SystemSettings:
         skips=tuple(dec.get("skips", ()) or ()),
         embedder=dec.get("embedder", "none"),
         multires=dec.get("multires", 0),
-        use_fused_mlp=bool(tpu.get("fused_mlp", True)),
+        use_fused_mlp=bool(tpu.get("fused_mlp", False)),
+        matmul_dtype=tpu.get("matmul_dtype", "f32"),
     )
     tracker = TrackerSettings(
         n_rays=trk.get("N_rays", 1024),

@@ -62,7 +62,7 @@ def map_step(map_state: vh.MapState, decoder_params,
              sel_idx: jnp.ndarray, sel_valid: jnp.ndarray,
              key: jax.Array, settings: SystemSettings,
              update_pose: bool = True, update_decoder: bool = True,
-             mesh=None) -> MapStepResult:
+             mesh=None, point_store=None) -> MapStepResult:
     """One mapping round (= one reference ``do_mapping`` call).
 
     Args:
@@ -94,6 +94,13 @@ def map_step(map_state: vh.MapState, decoder_params,
         pose_mask = jnp.zeros_like(pose_mask)
     origin_shift = jnp.where(sel_valid[:, None], 0.0, FAR_AWAY)
 
+    # dda occupancy grid is frozen across the BA iterations — build once
+    occupancy = None
+    if rnd.intersect_mode == "dda":
+        from proudslam_tpu.ops.intersect import build_occupancy
+        occupancy = build_occupancy(map_state.voxel_keys,
+                                    map_state.num_voxels, rnd)
+
     def loss_fn(embeddings, dec_params, poses, dirs, gt_c, gt_d, noise):
         R = se3.exp_rotation(poses[:, 3:6])                   # (Wsel, 3, 3)
         world_d = jnp.einsum("fnd,fed->fne", dirs, R)         # d @ R^T
@@ -102,7 +109,10 @@ def map_step(map_state: vh.MapState, decoder_params,
         outputs = render_rays(
             world_o.reshape(-1, 3), world_d.reshape(-1, 3),
             map_state, embeddings,
-            dec_params, settings.decoder, rnd, noise.reshape(-1, SJ))
+            dec_params, settings.decoder, rnd, noise.reshape(-1, SJ),
+            occupancy=occupancy, point_store=point_store,
+            pointnet_params=(dec_params.get("pointnet")
+                             if rnd.feature_mode == "pcd" else None))
         loss, _ = compute_loss(
             outputs, gt_c.reshape(-1, 3), gt_d.reshape(-1), settings.loss,
             weight_depth_loss=False)
@@ -113,7 +123,8 @@ def map_step(map_state: vh.MapState, decoder_params,
          embed_opt, dec_opt, k) = carry
         k, k_noise, k_pix = jax.random.split(k, 3)
         pix = jax.vmap(
-            lambda kk: sample_frame_pixels(kk, jnp.ones((H * W,)), n_rays)
+            lambda kk: sample_frame_pixels(kk, jnp.ones((H * W,)), n_rays,
+                                           method=rnd.pixel_sampler)
         )(jax.random.split(k_pix, Wsel))                      # (Wsel, N)
         dirs = dirs_flat[pix]                                 # (Wsel, N, 3)
         gt_c = jnp.take_along_axis(sel_rgb, pix[..., None], axis=1)

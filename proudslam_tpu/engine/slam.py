@@ -28,6 +28,7 @@ offset is applied.
 
 from __future__ import annotations
 
+import queue
 import threading
 from typing import List, Optional, Tuple
 
@@ -42,6 +43,56 @@ from proudslam_tpu.engine.tracker import TrackResult, track_frame
 from proudslam_tpu.geometry import camera, se3
 from proudslam_tpu.models.decoder import init_decoder
 from proudslam_tpu.ops import voxel_hash as vh
+
+
+class _HostFetcher:
+    """Background device->host fetches of tiny scalars.
+
+    Through the remote-TPU tunnel, ANY device->host transfer on the main
+    thread — blocking ``int(x)`` or even ``copy_to_host_async`` — stalls
+    the dispatch loop for a full round trip (measured ~25-40 ms), and the
+    first transfer permanently switches the backend into a mode where
+    every fence costs ~25 ms. The SLAM loop therefore never fetches on
+    the critical path: device scalars it wants to *observe* (map
+    occupancy counters, rotation-since-keyframe) are handed to this
+    daemon thread, whose blocking fetches overlap with the main thread's
+    dispatches; consumers poll the latest completed value (one-or-few
+    frames stale — the reference's tracker reads a stale map snapshot by
+    design, `share.py`, SURVEY §5)."""
+
+    def __init__(self):
+        self._q: "queue.Queue" = queue.Queue()
+        self._results = {}
+        self._lock = threading.Lock()
+        self._th = threading.Thread(target=self._run, daemon=True)
+        self._th.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            name, arr = item
+            try:
+                val = np.asarray(arr)
+                with self._lock:
+                    self._results[name] = val
+            except Exception:   # pragma: no cover — fetch is best-effort
+                pass
+            finally:
+                self._q.task_done()
+
+    def submit(self, name: str, arr) -> None:
+        self._q.put((name, arr))
+
+    def poll(self, name: str):
+        """Latest completed value for ``name`` (or None); consumes it."""
+        with self._lock:
+            return self._results.pop(name, None)
+
+    def drain(self) -> None:
+        """Block until every submitted fetch has completed."""
+        self._q.join()
 
 
 class SlamSystem:
@@ -74,6 +125,24 @@ class SlamSystem:
         k_map, k_dec, self._key = jax.random.split(key, 3)
         self.map_state = vh.init_map_state(settings.map, k_map)
         self.decoder_params = init_decoder(k_dec, settings.decoder)
+
+        # optional point-feature branch (reference's disabled pcd path,
+        # `render_helpers.py:168-238`): per-voxel point store + PointNet
+        # whose params ride in the decoder pytree so the mapper's existing
+        # joint Adam trains them (the reference's dedicated resnet_optim,
+        # `mapping.py:83`)
+        self._use_pcd = (settings.render.feature_mode == "pcd"
+                         or settings.map.store_points)
+        self.point_store = None
+        if self._use_pcd:
+            from proudslam_tpu.models.pointnet import init_pointnet
+            from proudslam_tpu.render.pcd_features import init_point_store
+            self._key, k_pn = jax.random.split(self._key)
+            if settings.render.feature_mode == "pcd":
+                self.decoder_params["pointnet"] = init_pointnet(
+                    k_pn, settings.decoder.in_dim)
+            self.point_store = init_point_store(
+                settings.map, settings.map.points_per_voxel)
         self.opt: MapOptState = init_map_opt(
             self.map_state.embeddings, self.decoder_params)
         self.store = kfstate.init_keyframe_store(
@@ -107,17 +176,19 @@ class SlamSystem:
 
         # settings structs are captured by closure (static), not traced
         def _track_fn(map_state, decoder_params, prev_pose, rays_dir,
-                      rgb, depth, key):
+                      rgb, depth, key, point_store):
             return track_frame(map_state, decoder_params, prev_pose,
                                rays_dir, rgb, depth, key, settings,
-                               mesh=mesh)
+                               mesh=mesh, point_store=point_store)
 
         def _map_fn(map_state, decoder_params, store, opt, rays_dir,
-                    sel, valid, key, update_pose=True, update_decoder=True):
+                    sel, valid, key, point_store,
+                    update_pose=True, update_decoder=True):
             return map_step(map_state, decoder_params, store, opt, rays_dir,
                             sel, valid, key, settings,
                             update_pose=update_pose,
-                            update_decoder=update_decoder, mesh=mesh)
+                            update_decoder=update_decoder, mesh=mesh,
+                            point_store=point_store)
 
         # NOTE: no jitted function may close over a device array — jax
         # embeds captured arrays as constants by fetching them to host,
@@ -143,7 +214,9 @@ class SlamSystem:
             vel = se3.inverse_matrix(m_prev) @ m_last
             return se3.tangent_from_matrix(m_last @ vel)
 
-        def _insert_fn(map_state, depth, pose6, rays_dir):
+        use_pcd = self._use_pcd
+
+        def _insert_fn(map_state, point_store, rgb, depth, pose6, rays_dir):
             st = point_stride
             d = depth[::st, ::st]
             dirs = rays_dir[::st, ::st]
@@ -151,7 +224,16 @@ class SlamSystem:
             valid = (d > 0).reshape(-1)
             R = se3.exp_rotation(pose6[3:6])
             pts_world = camera.transform_points(pts_cam, R, pose6[0:3])
-            return vh.insert_points(map_state, pts_world, valid, settings.map)
+            new_state = vh.insert_points(map_state, pts_world, valid,
+                                         settings.map)
+            if use_pcd:
+                from proudslam_tpu.render.pcd_features import (
+                    insert_frame_points)
+                colors = rgb[::st, ::st].reshape(-1, 3)
+                point_store = insert_frame_points(
+                    point_store, new_state, pts_world, colors, valid,
+                    settings.map)
+            return new_state, point_store
 
         # Donation: every state pytree that a step consumes-and-returns is
         # donated so XLA updates buffers in place (the keyframe store alone
@@ -185,9 +267,16 @@ class SlamSystem:
         self._insert_jit = jax.jit(_insert_fn, donate_argnums=(0,))
         self._predict = jax.jit(_predict_fn)
         self._kf_angle = jax.jit(_kf_angle_fn)
-        # async-fetched rotation-since-keyframe (one frame stale, like _nv)
-        self._ang_pending = None
+        # background-thread D2H of observability scalars (see _HostFetcher)
+        self._fetcher = _HostFetcher()
         self._last_angle = 0.0
+        self._ang_inflight = False
+        # counters are refreshed every this-many insertions (staleness only
+        # affects the capacity warning and, in brute mode, bucket growth
+        # margins — prewarm triggers at 3/4 bucket, far above the ~50
+        # voxels/frame growth rate times the interval)
+        self._counter_interval = 10
+        self._inserts = 0
         self._write = jax.jit(kfstate.write_frame, donate_argnums=(0,))
         self._rel_pose = jax.jit(_rel_pose_fn)
 
@@ -208,8 +297,8 @@ class SlamSystem:
         # it, so growth never stalls the frame loop.
         self._nv = 0
         self._nc = 0
-        self._nv_pending = None
-        self._nc_pending = None
+        self._nv_dev = None
+        self._nc_dev = None
         self._capacity_warned = False
         self._prewarmed: set = set()
         self._prewarm_lock = threading.Lock()
@@ -217,31 +306,47 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
 
-    def _insert(self, map_state: vh.MapState, depth: jnp.ndarray,
-                pose6: jnp.ndarray) -> vh.MapState:
+    def _insert(self, map_state: vh.MapState, rgb: jnp.ndarray,
+                depth: jnp.ndarray, pose6: jnp.ndarray) -> vh.MapState:
         """Backproject a depth map at the (refined) pose and allocate voxels
-        (reference `create_voxels_pointcloud`, `mapping.py:258-295`)."""
-        new_state = self._insert_jit(map_state, depth, pose6, self.rays_dir)
-        # the host's bucket bound follows the device count via an *async*
-        # copy consumed one frame later — a blocking scalar fetch here costs
-        # a full tunnel round trip (~20 ms) on the critical path. The bucket
-        # being one insert stale means at most one frame renders without the
-        # very newest voxels, which is the reference's stale-snapshot
-        # tracking semantics anyway (`share.py`, SURVEY §5).
-        self._nv_pending = new_state.num_voxels
-        self._nv_pending.copy_to_host_async()
-        self._nc_pending = new_state.num_cells
-        self._nc_pending.copy_to_host_async()
+        (reference `create_voxels_pointcloud`, `mapping.py:258-295`); with
+        the pcd branch on, also store the frame's points per voxel."""
+        new_state, self.point_store = self._insert_jit(
+            map_state, self.point_store, rgb, depth, pose6, self.rays_dir)
+        # the host's bucket bound / capacity warning follow the device
+        # counts via periodic background fetches — any main-thread D2H
+        # (even copy_to_host_async) stalls the tunnel for a ~40 ms round
+        # trip per frame. Staleness of a few frames means at most a few
+        # frames render without the very newest voxels, which is the
+        # reference's stale-snapshot tracking semantics anyway
+        # (`share.py`, SURVEY §5).
+        self._nv_dev = new_state.num_voxels
+        self._nc_dev = new_state.num_cells
+        self._inserts += 1
+        if self._inserts % self._counter_interval == 1:
+            self._fetcher.submit("nv", new_state.num_voxels)
+            self._fetcher.submit("nc", new_state.num_cells)
         return new_state
 
-    def _drain_nv(self):
-        if self._nv_pending is not None:
-            self._nv = int(self._nv_pending)
-            self._nv_pending = None
+    def _drain_nv(self, block: bool = False):
+        """Refresh host counters from completed background fetches.
+
+        ``block=True`` forces a blocking fetch of the latest device counts
+        (init / end-of-run only — a blocking D2H stalls the frame loop).
+        """
+        if block and self._nv_dev is not None:
+            self._nv = int(np.asarray(self._nv_dev))
+            self._nc = int(np.asarray(self._nc_dev))
             self._maybe_prewarm()
-        if self._nc_pending is not None:
-            self._nc = int(self._nc_pending)
-            self._nc_pending = None
+            self._check_capacity()
+            return
+        nv = self._fetcher.poll("nv")
+        if nv is not None:
+            self._nv = int(nv)
+            self._maybe_prewarm()
+        nc = self._fetcher.poll("nc")
+        if nc is not None:
+            self._nc = int(nc)
             self._check_capacity()
 
     def _check_capacity(self):
@@ -267,8 +372,8 @@ class SlamSystem:
                 file=sys.stderr, flush=True)
 
     def counters(self) -> dict:
-        """Host-visible map occupancy counters (see `_drain_nv`)."""
-        self._drain_nv()
+        """Host-visible map occupancy counters — exact (blocking fetch)."""
+        self._drain_nv(block=True)
         return {
             "num_voxels": self._nv,
             "num_cells": self._nc,
@@ -365,10 +470,10 @@ class SlamSystem:
             if do_track:
                 r1 = self._track(ms, dec, jnp.zeros((6,)), self.rays_dir,
                                  jnp.zeros((H, W, 3)), jnp.zeros((H, W)),
-                                 key)
+                                 key, self.point_store)
                 outs.append(r1.pose)
             r2 = self._map(ms, dec, store, opt, self.rays_dir, sel, valid,
-                           key)
+                           key, self.point_store)
             outs.append(r2.loss)
             jax.block_until_ready(outs)
         except Exception:  # pragma: no cover — prewarm is best-effort
@@ -467,9 +572,10 @@ class SlamSystem:
         self.num_kf = 1
         self.kf_stamps = [stamp]
         self.map_state = self._insert(
-            self.map_state, jnp.asarray(depth, jnp.float32), pose6)
+            self.map_state, jnp.asarray(rgb, jnp.float32),
+            jnp.asarray(depth, jnp.float32), pose6)
         # overlap the first tracked frame's compiles with the init rounds
-        self._drain_nv()
+        self._drain_nv(block=True)
         self._spawn_prewarm(self._bucket_for(self._nv), 2, do_track=True)
 
         sel = jnp.zeros((1,), jnp.int32)
@@ -480,7 +586,7 @@ class SlamSystem:
         for _ in range(n_rounds):
             res = self._map(self._render_view(), self.decoder_params,
                             self.store, self.opt, self.rays_dir, sel, valid,
-                            self._next_key())
+                            self._next_key(), self.point_store)
             self._merge_map_result(res)
         self.last_pose6 = pose6
         self._append_trajectory(0)
@@ -503,7 +609,8 @@ class SlamSystem:
         view = self._render_view()
         result: TrackResult = self._track(
             view, self.decoder_params, prior,
-            self.rays_dir, rgb_d, depth_d, self._next_key())
+            self.rays_dir, rgb_d, depth_d, self._next_key(),
+            self.point_store)
         # the signals needed to debug tracking live on device already;
         # keep the (tiny) scalars and fetch them in bulk at the end
         self._track_losses.append(result.loss)
@@ -516,14 +623,16 @@ class SlamSystem:
 
         sel, valid = self._select_window()
         res = self._map(view, self.decoder_params, self.store,
-                        self.opt, self.rays_dir, sel, valid, self._next_key())
+                        self.opt, self.rays_dir, sel, valid,
+                        self._next_key(), self.point_store)
         self._merge_map_result(res)
         self._map_losses.append(res.loss)
 
         refined = self.store.poses[slot]
         self._tracked_pose6.append(result.pose)
         self._refined_pose6.append(refined)
-        self.map_state = self._insert(self.map_state, depth_d, refined)
+        self.map_state = self._insert(self.map_state, rgb_d, depth_d,
+                                      refined)
 
         # keyframe commit rule (reference `mapping.py:136-139`), with a
         # denser early phase while the map gauge is still settling and a
@@ -531,9 +640,10 @@ class SlamSystem:
         gap = self.settings.mapper.keyframe_gap
         if self.num_kf <= self.settings.mapper.early_keyframes:
             gap = min(gap, self.settings.mapper.early_keyframe_gap)
-        if self._ang_pending is not None:
-            self._last_angle = float(self._ang_pending)
-            self._ang_pending = None
+        ang = self._fetcher.poll("ang")
+        if ang is not None:
+            self._last_angle = float(ang)
+            self._ang_inflight = False
         rot_deg = self.settings.mapper.keyframe_rotation_deg
         rotated = rot_deg > 0 and self._last_angle > rot_deg
         if (stamp - self.kf_stamps[self.num_kf - 1] > gap or rotated) \
@@ -541,11 +651,12 @@ class SlamSystem:
             self.num_kf += 1
             self.kf_stamps.append(stamp)
             self._last_angle = 0.0
-        elif rot_deg > 0:
-            ang = self._kf_angle(self.store.poses,
-                                 jnp.int32(self.num_kf - 1), jnp.int32(slot))
-            ang.copy_to_host_async()
-            self._ang_pending = ang
+        elif rot_deg > 0 and not self._ang_inflight:
+            self._fetcher.submit(
+                "ang", self._kf_angle(self.store.poses,
+                                      jnp.int32(self.num_kf - 1),
+                                      jnp.int32(slot)))
+            self._ang_inflight = True
 
         self._append_trajectory(slot)
         # the tracker continues from the BA-refined pose (reference keeps
@@ -591,8 +702,8 @@ class SlamSystem:
             sel, valid = self._select_window()
             res = self._map(self._render_view(), self.decoder_params,
                             self.store, self.opt, self.rays_dir, sel, valid,
-                            self._next_key(), update_pose=False,
-                            update_decoder=False)
+                            self._next_key(), self.point_store,
+                            update_pose=False, update_decoder=False)
             self._merge_map_result(res)
 
     def get_track_stats(self) -> dict:

@@ -40,7 +40,7 @@ def track_frame(map_state: vh.MapState, decoder_params,
                 prev_pose: jnp.ndarray, rays_dir: jnp.ndarray,
                 rgb: jnp.ndarray, depth: jnp.ndarray,
                 key: jax.Array, settings: SystemSettings,
-                mesh=None) -> TrackResult:
+                mesh=None, point_store=None) -> TrackResult:
     """Track one RGB-D frame starting from the previous frame's pose.
 
     Args:
@@ -62,6 +62,13 @@ def track_frame(map_state: vh.MapState, decoder_params,
     map_state = map_state._replace(
         embeddings=shard_embeddings(mesh, map_state.embeddings))
 
+    # dda occupancy grid is frozen across the pose iterations — build once
+    occupancy = None
+    if rnd.intersect_mode == "dda":
+        from proudslam_tpu.ops.intersect import build_occupancy
+        occupancy = build_occupancy(map_state.voxel_keys,
+                                    map_state.num_voxels, rnd)
+
     dirs_flat = rays_dir.reshape(-1, 3)
     rgb_flat = rgb.reshape(-1, 3)
     depth_flat = depth.reshape(-1)
@@ -73,7 +80,10 @@ def track_frame(map_state: vh.MapState, decoder_params,
         world_o = jnp.broadcast_to(pose6[0:3], world_d.shape)
         outputs = render_rays(
             world_o, world_d, map_state, map_state.embeddings,
-            decoder_params, settings.decoder, rnd, noise)
+            decoder_params, settings.decoder, rnd, noise,
+            occupancy=occupancy, point_store=point_store,
+            pointnet_params=(decoder_params.get("pointnet")
+                             if rnd.feature_mode == "pcd" else None))
         loss, aux = compute_loss(
             outputs, gt_c, gt_d, settings.loss,
             weight_depth_loss=trk.depth_variance)
@@ -83,7 +93,8 @@ def track_frame(map_state: vh.MapState, decoder_params,
     def step(carry, lr):
         pose6, m, v, t, k = carry
         k, k_pix, k_noise = jax.random.split(k, 3)
-        pix = sample_frame_pixels(k_pix, pixel_mask, n_rays)
+        pix = sample_frame_pixels(k_pix, pixel_mask, n_rays,
+                                  method=rnd.pixel_sampler)
         dirs = dirs_flat[pix]
         gt_c = rgb_flat[pix]
         gt_d = depth_flat[pix]

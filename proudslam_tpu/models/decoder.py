@@ -32,8 +32,16 @@ def _linear_init(key, fan_in: int, fan_out: int):
     return {"w": w.astype(jnp.float32), "b": b.astype(jnp.float32)}
 
 
-def _linear(params, x):
-    return jnp.dot(x, params["w"], preferred_element_type=jnp.float32) + params["b"]
+def _linear(params, x, dtype=jnp.float32):
+    """x @ w + b with f32 accumulation; ``dtype`` is the MXU input dtype.
+
+    bf16 inputs run the MXU at 2x f32 throughput; accumulation stays f32
+    via ``preferred_element_type`` and the bias add is f32. Parameters are
+    stored (and optimized) in f32 — only the matmul operands are cast.
+    """
+    out = jnp.dot(x.astype(dtype), params["w"].astype(dtype),
+                  preferred_element_type=jnp.float32)
+    return out + params["b"]
 
 
 def embedded_size(settings: DecoderSettings) -> int:
@@ -88,18 +96,20 @@ def init_decoder(key: jax.Array, settings: DecoderSettings) -> Params:
 def decoder_values(params: Params, settings: DecoderSettings,
                    x: jnp.ndarray) -> jnp.ndarray:
     """(N, in_dim) features -> (N, 4) [r, g, b, sdf] (`nrgbd.py:116-135`)."""
+    dt = jnp.bfloat16 if settings.matmul_dtype == "bf16" else jnp.float32
     xe = embed_input(settings, params, x)
     h = xe
     for i, layer in enumerate(params["layers"]):
-        h = jax.nn.relu(_linear(layer, h))
+        h = jax.nn.relu(_linear(layer, h, dt))
         if i in settings.skips:
             h = jnp.concatenate([xe, h], axis=-1)
-    sdf_out = _linear(params["sdf_out"], h)
+    sdf_out = _linear(params["sdf_out"], h, dt)
     sdf = sdf_out[:, :1]
     sdf_feat = sdf_out[:, 1:]
     hc = jnp.concatenate([sdf_feat, xe], axis=-1)
     rgb = jax.nn.sigmoid(
-        _linear(params["color1"], jax.nn.relu(_linear(params["color0"], hc))))
+        _linear(params["color1"], jax.nn.relu(_linear(params["color0"], hc, dt)),
+                dt))
     return jnp.concatenate([rgb, sdf], axis=-1)
 
 

@@ -42,8 +42,13 @@ def init_pointnet(key: jax.Array, feature_n: int = 16) -> Params:
     for i, w in enumerate(_WIDTHS):
         layers.append(_linear_init(keys[i], fan_in, w))
         fan_in = w
-    return {"layers": layers,
-            "fc": _linear_init(keys[-1], _WIDTHS[-1], feature_n)}
+    fc = _linear_init(keys[-1], _WIDTHS[-1], feature_n)
+    # small head: the decoder downstream is initialized/trained against
+    # N(0, 0.01)-scale features (`mapping.py:71-80` embeddings init); a
+    # default-init head emits O(1) features that put the SDF decode far
+    # off-scale for the whole early optimization
+    fc = {"w": fc["w"] * 0.02, "b": fc["b"] * 0.02}
+    return {"layers": layers, "fc": fc}
 
 
 def pointnet_apply(params: Params, xyz: jnp.ndarray,

@@ -275,13 +275,27 @@ def gumbel_sample_pixels(key: jax.Array, logp: jnp.ndarray, num: int) -> jnp.nda
     return idx.astype(jnp.int32)
 
 
-def sample_frame_pixels(key: jax.Array, valid_mask: jnp.ndarray, num: int) -> jnp.ndarray:
-    """Sample ``num`` distinct pixel indices from an (H, W) validity mask.
+def sample_frame_pixels(key: jax.Array, valid_mask: jnp.ndarray, num: int,
+                        method: str = "gumbel") -> jnp.ndarray:
+    """Sample ``num`` pixel indices from an (H, W) validity mask.
 
     Reference samples from a uniform mask over all pixels
     (`frame.py:82-85` passes ones_like(depth)); we keep the mask argument so
     invalid (zero-depth) pixels can be excluded when desired.
+
+    ``method``:
+      * "gumbel" — top-k Gumbel without replacement, the reference's exact
+        scheme (`sample_util.py:4-20`). Costs a 76k-element ``approx_max_k``
+        *per optimizer iteration* on the render hot path.
+      * "uniform" — independent uniform draws (with replacement). For the
+        all-ones mask both schemes are uniform over pixels; the expected
+        number of duplicate pixels in a 1024-of-76800 draw is ~7, which
+        merely double-weights those rays in one stochastic loss evaluation.
+        ~10x cheaper on TPU; ignores the mask.
     """
     flat = valid_mask.reshape(-1).astype(jnp.float32)
+    if method == "uniform":
+        return jax.random.randint(key, (num,), 0, flat.shape[0],
+                                  dtype=jnp.int32)
     probs = flat / (flat.sum() + 1e-7)
     return gumbel_sample_pixels(key, jnp.log(probs + 1e-7), num)

@@ -65,6 +65,8 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                 map_state, embeddings: jnp.ndarray,
                 decoder_params, decoder_settings: DecoderSettings,
                 settings: RenderSettings, noise: jnp.ndarray,
+                occupancy: jnp.ndarray = None,
+                point_store=None, pointnet_params=None,
                 ) -> RenderOutputs:
     """Render a batch of rays against the current map.
 
@@ -75,12 +77,19 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
       embeddings: (E, D) vertex embedding table — passed separately so the
         mapper can differentiate w.r.t. it (usually map_state.embeddings).
       noise: (R, max_samples - max_hits) stratification uniforms.
+      occupancy: optional precomputed dense occupancy grid
+        (`ops.intersect.build_occupancy`) for the "dda" mode. The grid is
+        loop-invariant across the tracker/mapper Adam iterations but XLA
+        does not hoist its O(grid) scatter out of the `lax.scan` — callers
+        that iterate build it once and pass it in (~1.5 ms/iteration saved
+        at bench scale).
     """
     from proudslam_tpu.ops.voxel_hash import unpack_key
 
     if settings.intersect_mode == "dda":
         inter = ray_intersect_dda(rays_o, rays_d, map_state.voxel_keys,
-                                  map_state.num_voxels, settings)
+                                  map_state.num_voxels, settings,
+                                  occupancy=occupancy)
     else:
         V = map_state.voxel_keys.shape[0]
         centers = (unpack_key(map_state.voxel_keys).astype(jnp.float32)
@@ -98,10 +107,18 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     sampled_xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     R, S = z_vals.shape
-    feats = gather_ray_features(
-        sampled_xyz, bins, inter.voxel_idx,
-        map_state.voxel_keys, map_state.voxel_vertex_ids, embeddings,
-        settings.voxel_size).reshape(R * S, -1)
+    if settings.feature_mode == "pcd":
+        from proudslam_tpu.render.pcd_features import gather_pcd_features
+        assert point_store is not None and pointnet_params is not None, \
+            "feature_mode='pcd' needs a VoxelPointStore + pointnet params"
+        feats = gather_pcd_features(
+            sampled_xyz, bins, inter.voxel_idx, point_store,
+            pointnet_params, settings.voxel_size).reshape(R * S, -1)
+    else:
+        feats = gather_ray_features(
+            sampled_xyz, bins, inter.voxel_idx,
+            map_state.voxel_keys, map_state.voxel_vertex_ids, embeddings,
+            settings.voxel_size).reshape(R * S, -1)
 
     from proudslam_tpu.ops.pallas.mlp_kernel import (
         decoder_values_fused, fused_applicable)

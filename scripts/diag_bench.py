@@ -42,6 +42,13 @@ def main():
     ap.add_argument("--map_iters", type=int, default=10)
     ap.add_argument("--n_rays", type=int, default=1024)
     ap.add_argument("--adaptive", default="true")
+    ap.add_argument("--matmul", default=None, choices=[None, "f32", "bf16"],
+                    help="decoder MLP matmul dtype (default: bench setting)")
+    ap.add_argument("--noise", type=float, default=0.0,
+                    help="multiplicative depth noise sigma (e.g. 0.01) "
+                         "applied to the cached dataset in memory")
+    ap.add_argument("--sampler", default=None,
+                    choices=[None, "uniform", "gumbel"])
     ap.add_argument("--segment", type=int, default=40)
     ap.add_argument("--panels", type=str, default="",
                     help="comma-separated frame indices to dump panels at")
@@ -74,7 +81,10 @@ def main():
         render=dataclasses.replace(
             base.render, max_hits=args.max_hits, max_samples=args.max_samples,
             intersect_mode=args.intersect, step_size=args.step_size,
-            adaptive_step=args.adaptive.lower() == "true"),
+            adaptive_step=args.adaptive.lower() == "true",
+            **({"pixel_sampler": args.sampler} if args.sampler else {})),
+        decoder=(dataclasses.replace(base.decoder, matmul_dtype=args.matmul)
+                 if args.matmul else base.decoder),
         tracker=dataclasses.replace(
             base.tracker, num_iterations=args.track_iters,
             n_rays=args.n_rays),
@@ -83,6 +93,17 @@ def main():
             window_size=args.window_size, num_iterations=args.map_iters),
     )
     ds = load_or_make_dataset()
+    if args.noise > 0.0:
+        # Kinect-like multiplicative depth noise (BenchDataset.depth_noise
+        # semantics) applied to the cached quantized frames
+        rng = np.random.default_rng(7)
+        for i in range(len(ds.frames)):
+            rgb_q, d_q = ds.frames[i]
+            d = d_q.astype(np.float32) / ds.depth_quant
+            n = rng.normal(0.0, args.noise, d.shape).astype(np.float32)
+            d = np.where(d > 0.0, np.maximum(d * (1.0 + n), 0.01), 0.0)
+            ds.frames[i] = (rgb_q, np.clip(
+                d * ds.depth_quant + 0.5, 0, 65535.0).astype(np.uint16))
     n_frames = min(args.frames, len(ds))
 
     slam = SlamSystem(settings, ds.intrinsics, (ds.height, ds.width), seed=0,

@@ -52,7 +52,9 @@ def main():
         _, depth_d = slam.upload_frame(np.zeros((1, 1, 3), np.uint8)
                                        * np.uint8(0), depth)
         pose6 = se3.tangent_from_matrix(jnp.asarray(pose, jnp.float32))
-        slam.map_state = slam._insert(slam.map_state, depth_d, pose6)
+        slam.map_state = slam._insert(slam.map_state,
+                                      jnp.zeros((ds.height, ds.width, 3)),
+                                      depth_d, pose6)
     jax.block_until_ready(slam.map_state.voxel_keys)
     c = slam.counters()
     print(f"pregrow: {time.perf_counter() - t0:.1f}s -> "
@@ -60,6 +62,11 @@ def main():
           file=sys.stderr)
     slam.num_kf = min(9, settings.mapper.max_keyframes - 2)
     slam.kf_stamps = list(range(0, slam.num_kf * 51, 51))
+
+    # drain background prewarm compiles — their dummy executions contend
+    # with the fenced measurements below and would inflate every phase
+    for th in slam._prewarm_threads:
+        th.join()
 
     acc = {"upload": 0.0, "track": 0.0, "write": 0.0, "map": 0.0,
            "insert": 0.0}
@@ -79,7 +86,8 @@ def main():
 
         t = time.perf_counter()
         result = slam._track(view, slam.decoder_params, slam.last_pose6,
-                             slam.rays_dir, rgb_d, depth_d, slam._next_key())
+                             slam.rays_dir, rgb_d, depth_d, slam._next_key(),
+                             slam.point_store)
         jax.block_until_ready(result.pose)
         if warm:
             acc["track"] += time.perf_counter() - t
@@ -96,7 +104,8 @@ def main():
         sel, valid = slam._select_window()
         t = time.perf_counter()
         res = slam._map(view, slam.decoder_params, slam.store, slam.opt,
-                        slam.rays_dir, sel, valid, slam._next_key())
+                        slam.rays_dir, sel, valid, slam._next_key(),
+                        slam.point_store)
         slam._merge_map_result(res)
         jax.block_until_ready(slam.map_state.embeddings)
         if warm:
@@ -104,7 +113,8 @@ def main():
 
         refined = slam.store.poses[slot]
         t = time.perf_counter()
-        slam.map_state = slam._insert(slam.map_state, depth_d, refined)
+        slam.map_state = slam._insert(slam.map_state, rgb_d, depth_d,
+                                      refined)
         jax.block_until_ready(slam.map_state.voxel_keys)
         if warm:
             acc["insert"] += time.perf_counter() - t

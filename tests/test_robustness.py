@@ -1,0 +1,63 @@
+"""Accuracy robustness: 100-frame noisy-depth run (CPU-scale budget).
+
+The reference's depth-variance outlier rule (`criterion.py:45-49`,
+`tracking.py:146`) exists for exactly this regime — sensor depth with
+multiplicative noise. This drives the full engine over a 100-frame
+Replica-motion-statistics sequence (`BenchDataset`, half-circle room scan
+with pan sweeps) with 1% multiplicative depth noise and bounds the
+per-frame relative error (RPE), the metric that degrades first when
+outlier handling is wrong. Frame-to-frame motion here is ~3.5 cm + ~2.3°.
+"""
+
+import numpy as np
+import pytest
+
+from proudslam_tpu.config import (
+    DecoderSettings, LossSettings, MapSettings, MapperSettings,
+    RenderSettings, SystemSettings, TrackerSettings)
+from proudslam_tpu.data.synthetic import BenchDataset
+from proudslam_tpu.engine.slam import SlamSystem
+from proudslam_tpu.utils.metrics import ate_rmse, rpe_rmse
+
+
+def settings():
+    return SystemSettings(
+        render=RenderSettings(voxel_size=0.2, step_size=0.02, truncation=0.1,
+                              max_distance=10.0, max_hits=12, max_samples=72,
+                              intersect_mode="dda"),
+        map=MapSettings(voxel_size=0.2, num_embeddings=16384, embed_dim=16,
+                        voxel_capacity=8192, frame_voxel_capacity=1024),
+        decoder=DecoderSettings(depth=2, width=64, in_dim=16, sdf_dim=64),
+        tracker=TrackerSettings(n_rays=256, num_iterations=20,
+                                learning_rate=0.01, depth_variance=True),
+        mapper=MapperSettings(n_rays_each=256, window_size=3,
+                              num_iterations=5, keyframe_gap=10,
+                              max_keyframes=32, init_iterations=40),
+        loss=LossSettings(),
+    )
+
+
+@pytest.mark.slow
+def test_noisy_depth_100_frames():
+    ds = BenchDataset(num_frames=100, width=64, height=48, radius=1.1,
+                      depth_noise=0.01, seed=0)
+    s = settings()
+    slam = SlamSystem(s, ds.intrinsics, (ds.height, ds.width), seed=0)
+    rgb0, depth0 = ds.dequantized(0)
+    slam.initialize(rgb0, depth0, ds.get_init_pose(), stamp=0)
+    for i in range(1, len(ds)):
+        _, rgb, depth, _, _ = ds[i]
+        slam.process_frame(i, rgb, depth)
+
+    est = slam.get_trajectory()
+    gt = np.stack(ds.poses)[:len(est)]
+    assert np.isfinite(est).all()
+    rpe = rpe_rmse(est, gt, delta=1) * 100
+    ate = ate_rmse(est, gt, align=False) * 100
+    # per-frame motion ~3.5 cm and the 1% noise is ~2-4 cm sigma per depth
+    # pixel at this scene's depths; at this deliberately small CPU budget
+    # (20 iters x 256 rays at 64x48) the run calibrates to RPE ~2.7 cm —
+    # locked (RPE < motion), degrading gracefully. The TPU-scale run at the
+    # full budget is scripts/diag_bench.py --noise 0.01 (see BENCH_NOTES).
+    assert rpe < 3.2, f"RPE {rpe:.2f} cm under 1% depth noise"
+    assert ate < 20.0, f"ATE {ate:.2f} cm under 1% depth noise"
