@@ -459,7 +459,8 @@ class SlamSystem:
                 voxel_keys=jnp.zeros((bucket,), jnp.int32),
                 voxel_vertex_ids=jnp.zeros((bucket, 8), jnp.int32),
                 num_voxels=jnp.zeros((), jnp.int32),
-                embeddings=jnp.zeros((E, D)))
+                embeddings=jnp.zeros((E, D)),
+                inv_map=jnp.zeros((E, 8), jnp.int32))
             dec = jax.tree.map(jnp.zeros_like, self.decoder_params)
             store = kfstate.init_keyframe_store(K, H, W)
             opt = init_map_opt(ms.embeddings, dec)

@@ -9,6 +9,26 @@ inside the voxel.
 Corner ordering matches the reference (`octree.cpp:11-13` incr tables and
 `offset_points`, `render_helpers.py:67-83`): z fastest, x slowest, corner
 j's offset bit pattern = (j>>2, (j>>1)&1, j&1).
+
+The production path (:func:`gather_ray_features`) is built around what the
+TPU memory system is good and bad at. Gathers are cheap at any row width;
+scatters have a per-row cost that makes fine-grained rows ruinous
+(measured: 590k x 16-wide scatter-add 10.3 ms, 74k x 128-wide 1.0 ms).
+So the embedding fetch is factored into three *gathers*
+
+  corner view   EV[v]   = embeddings[vertex_ids[v]]          (V, 8D)
+  per hit slot  rb[r,h] = EV[hit_voxel[r,h]]                 (R, H, 8D)
+  per sample    f8[r,s] = rb[r, bin[r,s]]                    (R, S, 8D)
+
+with a custom VJP that transposes each hop at its cheapest granularity:
+samples -> hit slots by a cumulative-sum segment reduction (bins are
+non-decreasing along a ray), hit slots -> corner view by one 128-wide-row
+scatter, and corner view -> embedding rows by a *gather* over the
+precomputed inverse vertex map (each embedding row is a corner of at most
+8 voxels; `ops/voxel_hash.py` maintains the map at insertion). Autodiff of
+the previous one-hot-einsum formulation spent ~18 ms per BA iteration in
+the embedding scatter alone; this formulation measures ~2.5 ms for the
+entire embedding backward at bench shapes (BENCH_NOTES round 4).
 """
 
 from __future__ import annotations
@@ -24,6 +44,8 @@ import numpy as _np
 CORNER_BITS = _np.array(
     [[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
      [1, 0, 0], [1, 0, 1], [1, 1, 0], [1, 1, 1]], dtype=_np.float32)
+
+_FLOAT0 = jax.dtypes.float0
 
 
 def trilinear_weights(p: jnp.ndarray) -> jnp.ndarray:
@@ -67,33 +89,154 @@ def gather_voxel_features(sampled_xyz: jnp.ndarray,
     return jnp.sum(w[..., None] * corner_feats, axis=-2)
 
 
+# ---------------------------------------------------------------------------
+# sample-level corner-feature fetch with restructured backward
+# ---------------------------------------------------------------------------
+
+
+def _f8_impl(embeddings, vertex_ids, vidx, bins):
+    # two row gathers to the (ray, hit-slot) level, then an exact one-hot
+    # contraction to samples — measured faster than any flat/batched
+    # gather formulation for the (R,S,128) expansion on TPU
+    V = vertex_ids.shape[0]
+    D = embeddings.shape[1]
+    H = vidx.shape[1]
+    EV = embeddings[vertex_ids.reshape(-1)].reshape(V, 8 * D)
+    rb = EV[vidx]                                        # (R, H, 8D)
+    onehot = (bins[:, :, None]
+              == jnp.arange(H, dtype=bins.dtype)).astype(jnp.float32)
+    return jnp.einsum("rsh,rhk->rsk", onehot, rb,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.custom_vjp
+def _gather_f8(embeddings, vertex_ids, inv_map, vidx, bins):
+    """(E,D),(V,8),(E,8),(R,H),(R,S) -> (R,S,8D) corner features per sample.
+
+    ``bins`` entries for invalid samples must be H (matching no hit slot:
+    zero features forward, zero cotangent backward). ``inv_map`` rows hold
+    flat (voxel*8 + corner) indices of the voxels adjacent to each
+    embedding row (-1 padded), or the whole argument is None to fall back
+    to a scatter fold (used by map views that lack the inverse map).
+    """
+    return _f8_impl(embeddings, vertex_ids, vidx, bins)
+
+
+def _gather_f8_fwd(embeddings, vertex_ids, inv_map, vidx, bins):
+    out = _f8_impl(embeddings, vertex_ids, vidx, bins)
+    res = (embeddings.shape, vertex_ids, inv_map, vidx, bins)
+    return out, res
+
+
+def _gather_f8_bwd(res, dout):
+    (E, D), vertex_ids, inv_map, vidx, bins = res
+    R, S, K = dout.shape
+    H = vidx.shape[1]
+    V = vertex_ids.shape[0]
+
+    # samples -> hit slots: exact one-hot contraction transpose (a prefix
+    # -sum segment reduction was measured 5x slower — TPU cumsum over the
+    # (R,S,128) cotangent is multiple full-array passes)
+    onehot = (bins[:, :, None]
+              == jnp.arange(H, dtype=bins.dtype)).astype(jnp.float32)
+    d_rb = jnp.einsum("rsh,rsk->rhk", onehot, dout,
+                      precision=jax.lax.Precision.HIGHEST)  # (R, H, K)
+
+    # hit slots -> corner view: one wide-row scatter (invalid slots were
+    # clamped to 0 but receive only zero cotangents — see renderer masks)
+    dEV = jnp.zeros((V, K), dout.dtype).at[
+        jnp.maximum(vidx, 0).reshape(-1)].add(d_rb.reshape(-1, K))
+
+    # corner view -> embedding rows
+    flat = dEV.reshape(V * 8, D)
+    if inv_map is None:
+        d_emb = jnp.zeros((E, D), dout.dtype).at[
+            vertex_ids.reshape(-1)].add(flat)
+    else:
+        # pure gather over the inverse vertex map; entries referencing
+        # voxel slots beyond this (possibly bucketed) view are masked
+        ok = (inv_map >= 0) & (inv_map < V * 8)
+        rows = flat[jnp.where(ok, inv_map, 0)]           # (E, 8, D)
+        d_emb = jnp.sum(jnp.where(ok[..., None], rows, 0.0), axis=1)
+
+    z = lambda a: _np.zeros(a.shape, _FLOAT0)
+    d_inv = None if inv_map is None else z(inv_map)
+    return (d_emb, z(vertex_ids), d_inv, z(vidx), z(bins))
+
+
+_gather_f8.defvjp(_gather_f8_fwd, _gather_f8_bwd)
+
+
 def gather_ray_features(sampled_xyz: jnp.ndarray,
                         sample_bins: jnp.ndarray,
                         hit_voxel_idx: jnp.ndarray,
                         voxel_keys: jnp.ndarray,
                         voxel_vertex_ids: jnp.ndarray,
                         embeddings: jnp.ndarray,
-                        voxel_size: float) -> jnp.ndarray:
+                        voxel_size: float,
+                        inv_map: jnp.ndarray = None) -> jnp.ndarray:
     """Ray-structured variant of :func:`gather_voxel_features`.
 
     Exploits the render topology: a ray's samples reference at most H
-    distinct voxels (its intersection hit slots). Corner ids / embeddings /
-    centers are gathered **per (ray, hit-slot)** — R*H*8 rows instead of
-    R*S*8 — and broadcast to samples with a one-hot contraction over the
-    small H axis. Autodiff of the contraction then accumulates embedding
-    gradients per hit slot, shrinking the backward scatter-add by S/H (~4x),
-    which profiling shows is the dominant mapping-step cost on TPU.
+    distinct voxels (its intersection hit slots), and its sample bins are
+    non-decreasing in depth order. The corner features reach each sample
+    through three row gathers (see module docstring) whose custom VJP
+    accumulates embedding gradients at (ray, hit-slot) granularity with
+    128-wide rows — the structure TPU scatters need to be fast.
 
     Args:
       sampled_xyz: (R, S, 3) world positions (differentiable).
-      sample_bins: (R, S) int — hit-slot index of each sample.
+      sample_bins: (R, S) int — hit-slot index of each sample,
+        non-decreasing per ray; entries for invalid samples must be >= H
+        (the renderer passes ``where(valid, bin, H)``).
       hit_voxel_idx: (R, H) voxel slots from the intersection (-1 invalid).
       voxel_keys: (V,) packed int32 grid coords (see ops/voxel_hash) —
         voxel centers are reconstructed from one integer gather + bit
         unpacking, which beats three float row-gathers on TPU.
       voxel_vertex_ids: (V, 8); embeddings: (E, D).
+      inv_map: (E, 8) inverse vertex map (``MapState.inv_map``), or None
+        to use a scatter-based fold in the backward.
     Returns:
       (R, S, D) interpolated features.
+    """
+    from proudslam_tpu.ops.voxel_hash import unpack_key
+
+    R, S, _ = sampled_xyz.shape
+    H = hit_voxel_idx.shape[1]
+    D = embeddings.shape[1]
+    vidx = jnp.maximum(hit_voxel_idx, 0)               # (R, H)
+
+    f8 = _gather_f8(embeddings, voxel_vertex_ids, inv_map, vidx,
+                    sample_bins).reshape(R, S, 8, D)
+
+    keys_rb = voxel_keys[vidx]                         # (R, H) int32
+    centers_rb = (unpack_key(keys_rb).astype(jnp.float32) + 0.5) * voxel_size
+    onehot = (sample_bins[:, :, None]
+              == jnp.arange(H, dtype=sample_bins.dtype)).astype(jnp.float32)
+    center = jnp.einsum("rsh,rhc->rsc", onehot, centers_rb,
+                        precision=jax.lax.Precision.HIGHEST)
+
+    p = (sampled_xyz - center) / voxel_size + 0.5      # (R, S, 3)
+    w = trilinear_weights(p.reshape(R * S, 3)).reshape(R, S, 8)
+    # invalid lanes (bin == H) carry clamped-gather garbage in f8/center;
+    # zero their weights so features are exactly 0 there (as the one-hot
+    # formulation produced), keeping the MLP inputs benign
+    w = jnp.where((sample_bins < H)[:, :, None], w, 0.0)
+    return jnp.sum(w[..., None] * f8, axis=-2)
+
+
+def gather_ray_features_onehot(sampled_xyz: jnp.ndarray,
+                               sample_bins: jnp.ndarray,
+                               hit_voxel_idx: jnp.ndarray,
+                               voxel_keys: jnp.ndarray,
+                               voxel_vertex_ids: jnp.ndarray,
+                               embeddings: jnp.ndarray,
+                               voxel_size: float) -> jnp.ndarray:
+    """Correctness oracle: the round-3 one-hot-einsum formulation.
+
+    Mathematically identical to :func:`gather_ray_features` (one-hot
+    selection == gather); kept for gradient cross-checks in tests. Its
+    autodiff backward is the slow fine-grained scatter.
     """
     from proudslam_tpu.ops.voxel_hash import unpack_key
 
@@ -106,9 +249,8 @@ def gather_ray_features(sampled_xyz: jnp.ndarray,
     keys_rb = voxel_keys[vidx]                         # (R, H) int32
     centers_rb = (unpack_key(keys_rb).astype(jnp.float32) + 0.5) * voxel_size
 
-    onehot = (sample_bins[:, :, None]
+    onehot = (jnp.minimum(sample_bins, H - 1)[:, :, None]
               == jnp.arange(H, dtype=jnp.int32)).astype(jnp.float32)
-    # one-hot weights are exact; 'highest' keeps f32 mantissa on the MXU
     f8 = jnp.einsum("rsh,rhk->rsk", onehot, emb_rb,
                     precision=jax.lax.Precision.HIGHEST)
     f8 = f8.reshape(R, S, 8, D)

@@ -66,6 +66,14 @@ class MapState(NamedTuple):
     # --- vertex embeddings (optimized by the mapper) ---
     embeddings: jnp.ndarray   # (E, D) float32
 
+    # --- inverse vertex map: embedding row -> adjacent (voxel, corner) ---
+    # (E, 8) int32 flat indices (voxel_slot * 8 + corner), -1 padded. A
+    # vertex is a corner of <= 8 voxels, so 8 slots suffice. Lets the
+    # embedding-gradient fold be a gather instead of a fine-grained
+    # scatter (`ops/interp.py`); None in renderer-facing views that lack
+    # it (they fall back to the scatter fold).
+    inv_map: jnp.ndarray = None
+
 
 def init_map_state(settings: MapSettings, key: jax.Array) -> MapState:
     """Fresh empty map. Embeddings ~ N(0, 0.01) (reference `mapping.py:71-80`)."""
@@ -82,6 +90,7 @@ def init_map_state(settings: MapSettings, key: jax.Array) -> MapState:
         voxel_vertex_ids=jnp.zeros((V, 8), dtype=jnp.int32),
         num_voxels=jnp.zeros((), dtype=jnp.int32),
         embeddings=emb,
+        inv_map=jnp.full((C, 8), -1, dtype=jnp.int32),
     )
 
 
@@ -138,11 +147,20 @@ def build_map_state_numpy(coords, settings: MapSettings,
     rng = np.random.default_rng(seed)
     emb = (0.01 * rng.standard_normal(
         (C, settings.embed_dim))).astype(np.float32)
+    inv = np.full((C, 8), -1, np.int32)
+    flat_e = vvids.reshape(-1)
+    flat_i = np.arange(n * 8, dtype=np.int32)
+    order = np.argsort(flat_e, kind="stable")
+    se, si = flat_e[order], flat_i[order]
+    first = np.searchsorted(se, se, side="left")
+    rank = np.arange(n * 8) - first
+    inv[se, rank] = si
     return MapState(
         cell_keys=jnp.asarray(ck), cell_ids=jnp.asarray(ci),
         cell_vslot=jnp.asarray(cv), num_cells=jnp.int32(m),
         voxel_keys=jnp.asarray(vk), voxel_vertex_ids=jnp.asarray(vv),
-        num_voxels=jnp.int32(n), embeddings=jnp.asarray(emb))
+        num_voxels=jnp.int32(n), embeddings=jnp.asarray(emb),
+        inv_map=jnp.asarray(inv))
 
 
 # ---------------------------------------------------------------------------
@@ -322,6 +340,31 @@ def insert_points(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
     cell_vslot = state.cell_vslot.at[jnp.where(hit, pos, C)].set(
         jnp.where(vfits, slot_for, -1), mode="drop")
 
+    # ---- inverse vertex map ---------------------------------------------
+    # each kept voxel contributes its 8 (slot*8 + corner) flat indices to
+    # the rows of its 8 corner cells; a (voxel, corner) pair is inserted
+    # exactly once ever (new-voxel guard above), and a cell has <= 8
+    # adjacent voxels, so the 8 slots never overflow. Per-row slot
+    # assignment = current occupancy + rank among this batch's duplicates
+    # (sorted-run rank via searchsorted on the sorted candidate ids).
+    E = state.inv_map.shape[0]
+    ecand = jnp.where(vfits[:, None] & (corner_ids >= 0), corner_ids, E)
+    flat_e = ecand.reshape(-1)                                   # (8F,)
+    vals = (slot_for[:, None] * 8
+            + jnp.arange(8, dtype=jnp.int32)[None, :]).reshape(-1)
+    order_e = jnp.argsort(flat_e)
+    se = flat_e[order_e]
+    sv = vals[order_e]
+    first = jnp.searchsorted(se, se, side="left").astype(jnp.int32)
+    rank = jnp.arange(8 * F, dtype=jnp.int32) - first
+    cnt = jnp.sum(
+        (state.inv_map[jnp.minimum(se, E - 1)] >= 0).astype(jnp.int32),
+        axis=1)
+    off = cnt + rank
+    dest = jnp.where((se < E) & (off < 8), se * 8 + off, E * 8)
+    inv_map = state.inv_map.reshape(-1).at[dest].set(
+        sv, mode="drop").reshape(E, 8)
+
     return state._replace(
         voxel_keys=voxel_keys, voxel_vertex_ids=voxel_vertex_ids,
-        num_voxels=num_voxels, cell_vslot=cell_vslot)
+        num_voxels=num_voxels, cell_vslot=cell_vslot, inv_map=inv_map)

@@ -115,10 +115,14 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
             sampled_xyz, bins, inter.voxel_idx, point_store,
             pointnet_params, settings.voxel_size).reshape(R * S, -1)
     else:
+        # invalid lanes -> bin H: keeps bins sorted for the segment-sum
+        # backward and routes their (zero) cotangents past every slot
+        S_bins = jnp.where(valid, bins, jnp.int32(inter.voxel_idx.shape[1]))
         feats = gather_ray_features(
-            sampled_xyz, bins, inter.voxel_idx,
+            sampled_xyz, S_bins, inter.voxel_idx,
             map_state.voxel_keys, map_state.voxel_vertex_ids, embeddings,
-            settings.voxel_size).reshape(R * S, -1)
+            settings.voxel_size,
+            inv_map=getattr(map_state, "inv_map", None)).reshape(R * S, -1)
 
     from proudslam_tpu.ops.pallas.mlp_kernel import (
         decoder_values_fused, fused_applicable)

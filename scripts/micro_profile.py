@@ -108,10 +108,21 @@ def main():
     samples = sampler(inter, noise)
     z = samples.depth
     xyz = o[:, None, :] + dirs[:, None, :] * z[..., None]
+    sbins = jnp.where(samples.voxel_idx >= 0, samples.bin, H)
     gather = jax.jit(lambda xyz, b, hi, st, emb: gather_ray_features(
-        xyz, b, hi, st.voxel_keys, st.voxel_vertex_ids, emb, rnd.voxel_size))
-    res["gather"] = bench(gather, xyz, samples.bin, inter.voxel_idx, state,
+        xyz, b, hi, st.voxel_keys, st.voxel_vertex_ids, emb, rnd.voxel_size,
+        inv_map=st.inv_map))
+    res["gather"] = bench(gather, xyz, sbins, inter.voxel_idx, state,
                           state.embeddings)
+
+    def gather_loss(emb, xyz):
+        out = gather_ray_features(
+            xyz, sbins, inter.voxel_idx, state.voxel_keys,
+            state.voxel_vertex_ids, emb, rnd.voxel_size,
+            inv_map=state.inv_map)
+        return jnp.sum(out * out)
+    res["gather_fwd_bwd"] = bench(
+        jax.jit(jax.grad(gather_loss, argnums=(0, 1))), state.embeddings, xyz)
 
     feats = gather(xyz, samples.bin, inter.voxel_idx, state,
                    state.embeddings).reshape(R * S, D)
