@@ -89,9 +89,14 @@ def bench_settings():
     return SystemSettings(
         render=RenderSettings(voxel_size=0.2, step_size=0.02, truncation=0.1,
                               max_distance=10.0, max_hits=12, max_samples=96,
-                              intersect_mode="dda"),
+                              intersect_mode="brute"),
         map=MapSettings(voxel_size=0.2, num_embeddings=40960, embed_dim=16,
                         voxel_capacity=20480, frame_voxel_capacity=4096),
+        # fused_mlp off: the bf16 Pallas decoder wins standalone (7.7 vs
+        # 13.4 ms fwd+bwd) but loses IN CONTEXT — the pallas_call boundary
+        # blocks XLA's fusion of the gather einsum into the first matmul
+        # and of the heads into the integration (track step 133 vs 65 ms,
+        # map step 338 vs 250 ms measured, BENCH_NOTES r4)
         decoder=DecoderSettings(depth=2, width=128, in_dim=16, sdf_dim=128,
                                 matmul_dtype="bf16"),
         tracker=TrackerSettings(n_rays=1024, num_iterations=30,

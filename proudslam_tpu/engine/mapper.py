@@ -123,8 +123,9 @@ def map_step(map_state: vh.MapState, decoder_params,
          embed_opt, dec_opt, k) = carry
         k, k_noise, k_pix = jax.random.split(k, 3)
         pix = jax.vmap(
-            lambda kk: sample_frame_pixels(kk, jnp.ones((H * W,)), n_rays,
-                                           method=rnd.pixel_sampler)
+            lambda kk: sample_frame_pixels(kk, None, n_rays,
+                                           method=rnd.pixel_sampler,
+                                           num_pixels=H * W)
         )(jax.random.split(k_pix, Wsel))                      # (Wsel, N)
         dirs = dirs_flat[pix]                                 # (Wsel, N, 3)
         gt_c = jnp.take_along_axis(sel_rgb, pix[..., None], axis=1)

@@ -68,11 +68,17 @@ def track_frame(map_state: vh.MapState, decoder_params,
         from proudslam_tpu.ops.intersect import build_occupancy
         occupancy = build_occupancy(map_state.voxel_keys,
                                     map_state.num_voxels, rnd)
+    # embeddings are frozen in tracking: hoist the per-voxel corner view
+    # out of the pose scan (XLA does not hoist the gather itself)
+    corner_feats = None
+    if rnd.feature_mode != "pcd":
+        from proudslam_tpu.ops.interp import corner_view
+        corner_feats = corner_view(map_state.embeddings,
+                                   map_state.voxel_vertex_ids, None)
 
     dirs_flat = rays_dir.reshape(-1, 3)
     rgb_flat = rgb.reshape(-1, 3)
     depth_flat = depth.reshape(-1)
-    pixel_mask = jnp.ones_like(depth_flat)
 
     def loss_fn(pose6, dirs, gt_c, gt_d, noise):
         R = se3.exp_rotation(pose6[3:6])
@@ -83,7 +89,8 @@ def track_frame(map_state: vh.MapState, decoder_params,
             decoder_params, settings.decoder, rnd, noise,
             occupancy=occupancy, point_store=point_store,
             pointnet_params=(decoder_params.get("pointnet")
-                             if rnd.feature_mode == "pcd" else None))
+                             if rnd.feature_mode == "pcd" else None),
+            corner_feats=corner_feats)
         loss, aux = compute_loss(
             outputs, gt_c, gt_d, settings.loss,
             weight_depth_loss=trk.depth_variance)
@@ -93,8 +100,9 @@ def track_frame(map_state: vh.MapState, decoder_params,
     def step(carry, lr):
         pose6, m, v, t, k = carry
         k, k_pix, k_noise = jax.random.split(k, 3)
-        pix = sample_frame_pixels(k_pix, pixel_mask, n_rays,
-                                  method=rnd.pixel_sampler)
+        pix = sample_frame_pixels(k_pix, None, n_rays,
+                                  method=rnd.pixel_sampler,
+                                  num_pixels=depth_flat.shape[0])
         dirs = dirs_flat[pix]
         gt_c = rgb_flat[pix]
         gt_d = depth_flat[pix]

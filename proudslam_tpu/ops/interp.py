@@ -94,14 +94,52 @@ def gather_voxel_features(sampled_xyz: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _f8_impl(embeddings, vertex_ids, vidx, bins):
-    # two row gathers to the (ray, hit-slot) level, then an exact one-hot
+@jax.custom_vjp
+def corner_view(embeddings, vertex_ids, inv_map):
+    """(E,D),(V,8),(E,8) -> (V,8D) per-voxel corner-embedding view.
+
+    Loop-invariant whenever embeddings are frozen (tracking) — callers
+    hoist it out of their optimizer scans. Custom backward folds the
+    (V,8D) cotangent onto embedding rows by a pure *gather* over the
+    inverse vertex map (each embedding row is a corner of <= 8 voxels),
+    replacing a 164k x 16-wide scatter. ``inv_map`` None falls back to
+    the scatter fold (views that lack the map, e.g. spatial shards).
+    """
+    V = vertex_ids.shape[0]
+    return embeddings[vertex_ids.reshape(-1)].reshape(V, -1)
+
+
+def _corner_view_fwd(embeddings, vertex_ids, inv_map):
+    out = corner_view(embeddings, vertex_ids, inv_map)
+    return out, (embeddings.shape, vertex_ids, inv_map)
+
+
+def _corner_view_bwd(res, dEV):
+    (E, D), vertex_ids, inv_map = res
+    V = vertex_ids.shape[0]
+    flat = dEV.reshape(V * 8, D)
+    if inv_map is None:
+        d_emb = jnp.zeros((E, D), dEV.dtype).at[
+            vertex_ids.reshape(-1)].add(flat)
+    else:
+        # entries referencing voxel slots beyond this (possibly bucketed)
+        # view are masked — those rows received no gradient
+        ok = (inv_map >= 0) & (inv_map < V * 8)
+        rows = flat[jnp.where(ok, inv_map, 0)]           # (E, 8, D)
+        d_emb = jnp.sum(jnp.where(ok[..., None], rows, 0.0), axis=1)
+    z = lambda a: _np.zeros(a.shape, _FLOAT0)
+    d_inv = None if inv_map is None else z(inv_map)
+    return (d_emb, z(vertex_ids), d_inv)
+
+
+corner_view.defvjp(_corner_view_fwd, _corner_view_bwd)
+
+
+def _f8_impl(EV, vidx, bins):
+    # row gather to the (ray, hit-slot) level, then an exact one-hot
     # contraction to samples — measured faster than any flat/batched
     # gather formulation for the (R,S,128) expansion on TPU
-    V = vertex_ids.shape[0]
-    D = embeddings.shape[1]
     H = vidx.shape[1]
-    EV = embeddings[vertex_ids.reshape(-1)].reshape(V, 8 * D)
     rb = EV[vidx]                                        # (R, H, 8D)
     onehot = (bins[:, :, None]
               == jnp.arange(H, dtype=bins.dtype)).astype(jnp.float32)
@@ -110,29 +148,23 @@ def _f8_impl(embeddings, vertex_ids, vidx, bins):
 
 
 @jax.custom_vjp
-def _gather_f8(embeddings, vertex_ids, inv_map, vidx, bins):
-    """(E,D),(V,8),(E,8),(R,H),(R,S) -> (R,S,8D) corner features per sample.
+def _gather_f8(EV, vidx, bins):
+    """(V,8D),(R,H),(R,S) -> (R,S,8D) corner features per sample.
 
     ``bins`` entries for invalid samples must be H (matching no hit slot:
-    zero features forward, zero cotangent backward). ``inv_map`` rows hold
-    flat (voxel*8 + corner) indices of the voxels adjacent to each
-    embedding row (-1 padded), or the whole argument is None to fall back
-    to a scatter fold (used by map views that lack the inverse map).
+    zero features forward, zero cotangent backward).
     """
-    return _f8_impl(embeddings, vertex_ids, vidx, bins)
+    return _f8_impl(EV, vidx, bins)
 
 
-def _gather_f8_fwd(embeddings, vertex_ids, inv_map, vidx, bins):
-    out = _f8_impl(embeddings, vertex_ids, vidx, bins)
-    res = (embeddings.shape, vertex_ids, inv_map, vidx, bins)
-    return out, res
+def _gather_f8_fwd(EV, vidx, bins):
+    return _f8_impl(EV, vidx, bins), (EV.shape[0], vidx, bins)
 
 
 def _gather_f8_bwd(res, dout):
-    (E, D), vertex_ids, inv_map, vidx, bins = res
+    V, vidx, bins = res
     R, S, K = dout.shape
     H = vidx.shape[1]
-    V = vertex_ids.shape[0]
 
     # samples -> hit slots: exact one-hot contraction transpose (a prefix
     # -sum segment reduction was measured 5x slower — TPU cumsum over the
@@ -147,21 +179,8 @@ def _gather_f8_bwd(res, dout):
     dEV = jnp.zeros((V, K), dout.dtype).at[
         jnp.maximum(vidx, 0).reshape(-1)].add(d_rb.reshape(-1, K))
 
-    # corner view -> embedding rows
-    flat = dEV.reshape(V * 8, D)
-    if inv_map is None:
-        d_emb = jnp.zeros((E, D), dout.dtype).at[
-            vertex_ids.reshape(-1)].add(flat)
-    else:
-        # pure gather over the inverse vertex map; entries referencing
-        # voxel slots beyond this (possibly bucketed) view are masked
-        ok = (inv_map >= 0) & (inv_map < V * 8)
-        rows = flat[jnp.where(ok, inv_map, 0)]           # (E, 8, D)
-        d_emb = jnp.sum(jnp.where(ok[..., None], rows, 0.0), axis=1)
-
     z = lambda a: _np.zeros(a.shape, _FLOAT0)
-    d_inv = None if inv_map is None else z(inv_map)
-    return (d_emb, z(vertex_ids), d_inv, z(vidx), z(bins))
+    return (dEV, z(vidx), z(bins))
 
 
 _gather_f8.defvjp(_gather_f8_fwd, _gather_f8_bwd)
@@ -174,7 +193,8 @@ def gather_ray_features(sampled_xyz: jnp.ndarray,
                         voxel_vertex_ids: jnp.ndarray,
                         embeddings: jnp.ndarray,
                         voxel_size: float,
-                        inv_map: jnp.ndarray = None) -> jnp.ndarray:
+                        inv_map: jnp.ndarray = None,
+                        EV: jnp.ndarray = None) -> jnp.ndarray:
     """Ray-structured variant of :func:`gather_voxel_features`.
 
     Exploits the render topology: a ray's samples reference at most H
@@ -196,6 +216,9 @@ def gather_ray_features(sampled_xyz: jnp.ndarray,
       voxel_vertex_ids: (V, 8); embeddings: (E, D).
       inv_map: (E, 8) inverse vertex map (``MapState.inv_map``), or None
         to use a scatter-based fold in the backward.
+      EV: optional precomputed :func:`corner_view` — pass it when
+        embeddings are frozen across an optimizer scan (tracking) so the
+        (V,8D) gather is hoisted out of the loop.
     Returns:
       (R, S, D) interpolated features.
     """
@@ -206,8 +229,9 @@ def gather_ray_features(sampled_xyz: jnp.ndarray,
     D = embeddings.shape[1]
     vidx = jnp.maximum(hit_voxel_idx, 0)               # (R, H)
 
-    f8 = _gather_f8(embeddings, voxel_vertex_ids, inv_map, vidx,
-                    sample_bins).reshape(R, S, 8, D)
+    if EV is None:
+        EV = corner_view(embeddings, voxel_vertex_ids, inv_map)
+    f8 = _gather_f8(EV, vidx, sample_bins).reshape(R, S, 8, D)
 
     keys_rb = voxel_keys[vidx]                         # (R, H) int32
     centers_rb = (unpack_key(keys_rb).astype(jnp.float32) + 0.5) * voxel_size

@@ -97,14 +97,17 @@ def unpack_grads(g: FusedParams, settings: DecoderSettings) -> dict:
 # The package-global jax_default_matmul_precision=highest (set for the
 # geometry paths — see proudslam_tpu/__init__.py) would make Mosaic emulate
 # every in-kernel f32 dot with multi-pass scratch, blowing the 16 MB scoped
-# VMEM budget. The decoder tolerates single-pass MXU precision (ATE is
-# unchanged — verified on the synthetic bench), so pin it explicitly.
+# VMEM budget. The decoder tolerates bf16 MXU operands (f32 accumulate) —
+# the XLA path runs matmul_dtype="bf16" in the bench config with unchanged
+# ATE — and bf16 doubles MXU throughput over single-pass f32, which is
+# what let the round-3 f32 kernel lose to XLA. Pin explicitly.
 _PREC = jax.lax.Precision.DEFAULT
+_BF16 = jnp.bfloat16
 
 
 def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                   precision=_PREC)
+    return jnp.dot(a.astype(_BF16), b.astype(_BF16),
+                   preferred_element_type=jnp.float32, precision=_PREC)
 
 
 def _fwd_tile(x, p: Tuple[jnp.ndarray, ...]):
@@ -149,7 +152,8 @@ def _bwd_kernel(x_ref, g_ref, w1, b1, w2, b2, ws, bs, wc_f, wc_x, bc, wo, bo,
     cdims = (((0,), (0,)), ((), ()))        # contract the sample axis
 
     def _dotg(a, b):
-        return jax.lax.dot_general(a, b, cdims, preferred_element_type=f32,
+        return jax.lax.dot_general(a.astype(_BF16), b.astype(_BF16), cdims,
+                                   preferred_element_type=f32,
                                    precision=_PREC)
 
     g_rgb = g[:, 0:3]

@@ -275,13 +275,18 @@ def gumbel_sample_pixels(key: jax.Array, logp: jnp.ndarray, num: int) -> jnp.nda
     return idx.astype(jnp.int32)
 
 
-def sample_frame_pixels(key: jax.Array, valid_mask: jnp.ndarray, num: int,
-                        method: str = "gumbel") -> jnp.ndarray:
+def sample_frame_pixels(key: jax.Array, valid_mask, num: int,
+                        method: str = "gumbel",
+                        num_pixels: int = None) -> jnp.ndarray:
     """Sample ``num`` pixel indices from an (H, W) validity mask.
 
     Reference samples from a uniform mask over all pixels
     (`frame.py:82-85` passes ones_like(depth)); we keep the mask argument so
     invalid (zero-depth) pixels can be excluded when desired.
+
+    ``valid_mask`` may be None with ``num_pixels`` given: the trivial
+    (all-ones) mask, sampled by plain ``randint`` — the production call
+    sites (reference passes ones_like(depth), `frame.py:82-85`).
 
     ``method``:
       * "gumbel" — top-k Gumbel without replacement, the reference's exact
@@ -291,11 +296,21 @@ def sample_frame_pixels(key: jax.Array, valid_mask: jnp.ndarray, num: int,
         all-ones mask both schemes are uniform over pixels; the expected
         number of duplicate pixels in a 1024-of-76800 draw is ~7, which
         merely double-weights those rays in one stochastic loss evaluation.
-        ~10x cheaper on TPU; ignores the mask.
+        ~10x cheaper on TPU. A non-trivial mask is honored by inverting
+        the mask-weight CDF (rejection-free).
     """
+    if valid_mask is None:
+        assert num_pixels is not None
+        if method == "uniform":
+            return jax.random.randint(key, (num,), 0, num_pixels,
+                                      dtype=jnp.int32)
+        valid_mask = jnp.ones((num_pixels,))
     flat = valid_mask.reshape(-1).astype(jnp.float32)
     if method == "uniform":
-        return jax.random.randint(key, (num,), 0, flat.shape[0],
-                                  dtype=jnp.int32)
+        c = jnp.cumsum(flat)
+        u = jax.random.uniform(key, (num,)) * c[-1]
+        return jnp.clip(
+            jnp.searchsorted(c, u, side="right").astype(jnp.int32),
+            0, flat.shape[0] - 1)
     probs = flat / (flat.sum() + 1e-7)
     return gumbel_sample_pixels(key, jnp.log(probs + 1e-7), num)

@@ -67,6 +67,7 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                 settings: RenderSettings, noise: jnp.ndarray,
                 occupancy: jnp.ndarray = None,
                 point_store=None, pointnet_params=None,
+                corner_feats: jnp.ndarray = None,
                 ) -> RenderOutputs:
     """Render a batch of rays against the current map.
 
@@ -81,7 +82,10 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
         (`ops.intersect.build_occupancy`) for the "dda" mode. The grid is
         loop-invariant across the tracker/mapper Adam iterations but XLA
         does not hoist its O(grid) scatter out of the `lax.scan` — callers
-        that iterate build it once and pass it in (~1.5 ms/iteration saved
+        that iterate build it once and pass it in. Ditto corner_feats: a
+        precomputed `ops.interp.corner_view` (V,8D), loop-invariant when
+        embeddings are frozen (tracking) — saves its ~1.9 ms gather per
+        iteration (~1.5 ms/iteration for the occupancy grid saved
         at bench scale).
     """
     from proudslam_tpu.ops.voxel_hash import unpack_key
@@ -122,7 +126,8 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
             sampled_xyz, S_bins, inter.voxel_idx,
             map_state.voxel_keys, map_state.voxel_vertex_ids, embeddings,
             settings.voxel_size,
-            inv_map=getattr(map_state, "inv_map", None)).reshape(R * S, -1)
+            inv_map=getattr(map_state, "inv_map", None),
+            EV=corner_feats).reshape(R * S, -1)
 
     from proudslam_tpu.ops.pallas.mlp_kernel import (
         decoder_values_fused, fused_applicable)

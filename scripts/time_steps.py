@@ -31,9 +31,17 @@ def main():
     from proudslam_tpu.engine.slam import SlamSystem
     from proudslam_tpu.ops import voxel_hash as vh
 
+    import dataclasses
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     V = int(sys.argv[2]) if len(sys.argv) > 2 else 13000
     settings = bench_settings()
+    # optional overrides: [3] intersect mode, [4] fused_mlp 0/1
+    if len(sys.argv) > 3:
+        settings = dataclasses.replace(settings, render=dataclasses.replace(
+            settings.render, intersect_mode=sys.argv[3]))
+    if len(sys.argv) > 4:
+        settings = dataclasses.replace(settings, decoder=dataclasses.replace(
+            settings.decoder, use_fused_mlp=bool(int(sys.argv[4]))))
     H, W = 240, 320
     slam = SlamSystem(settings, (0.9 * W, 0.9 * W, (W - 1) / 2, (H - 1) / 2),
                       (H, W), seed=0, point_stride=2)
