@@ -83,9 +83,10 @@ def bench_settings():
 
     # Full reference sample budget: step 0.02 m with enough sample slots
     # that `adaptive_step` never coarsens a typical ray (the reference
-    # draws ~arc/0.02 samples uncapped, `voxel_helpers.py:637-663`), and
-    # the V-independent DDA intersection (single executable for the whole
-    # run — no bucket-growth recompiles).
+    # draws ~arc/0.02 samples uncapped, `voxel_helpers.py:637-663`).
+    # Intersection is the bucketed brute slab+top-k (2x faster than DDA
+    # at bench scale — the DDA occupancy lookup is gather-overhead-bound;
+    # bucket-growth recompiles are prewarmed off-thread, BENCH_NOTES r4).
     return SystemSettings(
         render=RenderSettings(voxel_size=0.2, step_size=0.02, truncation=0.1,
                               max_distance=10.0, max_hits=12, max_samples=96,
@@ -169,11 +170,55 @@ def main():
     elapsed = time.perf_counter() - t0
 
     fps = timed / elapsed
+    gt = np.stack(ds.poses)
+    est_online = slam.get_trajectory()
+    ate_online_cm = ate_rmse(est_online, gt[:len(est_online)],
+                             align=False) * 100
+    # pose-updating global BA over all keyframes (the reference's final
+    # refinement freezes poses — this corrects accumulated drift and is
+    # reported separately from the online loop timing)
+    t0 = time.perf_counter()
+    slam.global_refine(rounds=2)
+    jax.block_until_ready(slam.map_state.embeddings)
+    refine_s = time.perf_counter() - t0
     est = slam.get_trajectory()
-    gt = np.stack(ds.poses)[:len(est)]
+    gt = gt[:len(est)]
     ate_cm = ate_rmse(est, gt, align=False) * 100
     rpe_cm = rpe_rmse(est, gt, delta=1) * 100
-    counters = slam.counters()
+    counters = slam.counters(exact=True)
+
+    # quantitative mesh eval vs the analytic scene (exact surface SDF):
+    # accuracy = mean vertex->surface distance; completion = mean
+    # GT-surface-sample -> nearest-vertex distance (observed region only
+    # — GT samples come from the dataset's own depth maps)
+    mesh_acc_cm = mesh_comp_cm = -1.0
+    try:
+        from scipy.spatial import cKDTree
+
+        from proudslam_tpu.mesher import extract_mesh
+        m = extract_mesh(slam.map_state, slam.decoder_params, settings.map,
+                         settings.decoder, require_color=False)
+        if len(m.verts):
+            mesh_acc_cm = float(np.mean(
+                ds.scene.surface_distance(m.verts))) * 100
+            samp = []
+            fx, fy, cx, cy = ds.intrinsics
+            ys, xs = np.mgrid[0:HEIGHT:4, 0:WIDTH:4]
+            dirs = np.stack([(xs - cx) / fx, (ys - cy) / fy,
+                             np.ones_like(xs, np.float32)], axis=-1)
+            for i in range(0, n_frames, 30):
+                _, d = ds.dequantized(i)
+                pose = gt[min(i, len(gt) - 1)]
+                pts = dirs * d[::4, ::4, None]
+                pts = pts.reshape(-1, 3)[(d[::4, ::4] > 0).reshape(-1)]
+                samp.append(pts @ pose[:3, :3].T + pose[:3, 3])
+            gt_pts = np.concatenate(samp)
+            mesh_comp_cm = float(np.mean(
+                cKDTree(m.verts).query(gt_pts)[0])) * 100
+        log(f"bench: mesh {len(m.verts)} verts  acc {mesh_acc_cm:.2f} cm  "
+            f"comp {mesh_comp_cm:.2f} cm")
+    except Exception as e:  # mesh eval must not kill the bench line
+        log(f"bench: mesh eval failed: {type(e).__name__}: {e}")
 
     result = {
         "metric": "tracked_frames_per_second",
@@ -182,6 +227,10 @@ def main():
         "vs_baseline": round(fps / 2.0, 3),
         "extra": {
             "ate_rmse_cm": round(ate_cm, 3),
+            "ate_online_cm": round(ate_online_cm, 3),
+            "global_refine_s": round(refine_s, 1),
+            "mesh_acc_cm": round(mesh_acc_cm, 3),
+            "mesh_comp_cm": round(mesh_comp_cm, 3),
             "rpe_rmse_cm": round(rpe_cm, 4),
             "frames_timed": timed,
             "num_voxels": counters["num_voxels"],

@@ -163,6 +163,11 @@ class RenderSettings:
     # mask up to ~7 expected duplicates per 1024-batch, ~10x cheaper on
     # TPU — see ops/sampling.py:sample_frame_pixels)
     pixel_sampler: str = "uniform"
+    # voxel slots are allocated in insertion order, so slot index is an
+    # age signal: slots within this margin of the live count are "fresh"
+    # (their SDF is still half-trained). > 0 exposes a per-ray fresh-hit
+    # fraction the tracker uses to discount unreliable rays; 0 = off.
+    fresh_voxel_margin: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -224,6 +229,9 @@ class TrackerSettings:
     # oscillates with ~lr amplitude (~1 cm at lr 0.01); decaying to
     # lr*frac anneals that noise out. 1.0 = reference behavior (fixed lr).
     final_lr_frac: float = 0.1
+    # minimum weight for rays dominated by fresh voxels (only active when
+    # render.fresh_voxel_margin > 0): ray weight = 1-(1-floor)*fresh_frac
+    fresh_ray_floor: float = 0.2
 
 
 @dataclasses.dataclass(frozen=True)

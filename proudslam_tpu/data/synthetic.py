@@ -220,6 +220,24 @@ class AnalyticScene:
         detail = (0.12 * o2 + 0.04 * o3)[:, None] * np.array([[1.0, 0.9, 1.1]])
         return base + detail
 
+    def surface_distance(self, p: np.ndarray) -> np.ndarray:
+        """(N, 3) points -> exact unsigned distance to the scene surface.
+
+        Closed-form per primitive (room walls, box SDF, sphere SDF),
+        minimized over all primitives — the ground truth for quantitative
+        mesh accuracy (reconstructed vertices should lie on the surface;
+        the reference has no mesh eval at all, `mesh_util.py`)."""
+        d_room = np.min(self.room_half[None, :] - np.abs(p), axis=1)
+        dists = [np.abs(d_room)]
+        for c, h in zip(self.box_centers, self.box_halves):
+            q = np.abs(p - c[None]) - h[None]
+            outside = np.linalg.norm(np.maximum(q, 0.0), axis=1)
+            inside = np.minimum(np.max(q, axis=1), 0.0)
+            dists.append(np.abs(outside + inside))
+        for c, r in zip(self.sphere_centers, self.sphere_radii):
+            dists.append(np.abs(np.linalg.norm(p - c[None], axis=1) - r))
+        return np.min(np.stack(dists), axis=0)
+
     def trace(self, origins: np.ndarray, dirs: np.ndarray,
               max_depth: float = 10.0) -> np.ndarray:
         """Exact first-hit parameter t (in units of the given dirs, i.e.

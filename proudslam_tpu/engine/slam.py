@@ -180,17 +180,32 @@ class SlamSystem:
         if mesh is not None:
             # initial state must live on the mesh's devices — jit rejects
             # computations mixing arrays committed to different device sets.
-            # Embeddings start on their mp row shards; everything else is
-            # replicated (the in-step constraints shard the ray batches).
+            # With an mp extent the map is STORED spatially sharded: all
+            # its tables row-shard over mp (per-device map memory
+            # O(V/mp + E/mp), `parallel/engine.py::map_state_shardings`);
+            # everything else replicates (in-step constraints shard the
+            # ray batches over dp).
             from jax.sharding import NamedSharding, PartitionSpec as P
+            from proudslam_tpu.parallel.engine import map_state_shardings
             rep = NamedSharding(mesh, P())
-            emb_sh = NamedSharding(mesh, P("mp", None))
-            emb = jax.device_put(self.map_state.embeddings, emb_sh)
-            rest = jax.device_put(
-                self.map_state._replace(embeddings=jnp.zeros(())), rep)
-            self.map_state = rest._replace(embeddings=emb)
+            if mesh.shape.get("mp", 1) > 1:
+                self.map_state = jax.tree.map(
+                    jax.device_put, self.map_state,
+                    map_state_shardings(mesh, self.map_state))
+            else:
+                self.map_state = jax.device_put(self.map_state, rep)
             self.decoder_params = jax.device_put(self.decoder_params, rep)
-            self.opt = jax.device_put(self.opt, rep)
+            if mesh.shape.get("mp", 1) > 1:
+                # the embedding Adam moments shard with their parameter
+                row2 = NamedSharding(mesh, P("mp", None))
+                self.opt = self.opt._replace(
+                    embed=self.opt.embed._replace(
+                        m=jax.device_put(self.opt.embed.m, row2),
+                        v=jax.device_put(self.opt.embed.v, row2),
+                        t=jax.device_put(self.opt.embed.t, rep)),
+                    decoder=jax.device_put(self.opt.decoder, rep))
+            else:
+                self.opt = jax.device_put(self.opt, rep)
             self.store = jax.device_put(self.store, rep)
             self.rays_dir = jax.device_put(self.rays_dir, rep)
             self._key = jax.device_put(self._key, rep)
@@ -262,7 +277,16 @@ class SlamSystem:
                 point_store = insert_frame_points(
                     point_store, new_state, pts_world, colors, valid,
                     settings.map)
-            return new_state, point_store
+            # counters returned as FRESH buffers: the map_state output is
+            # donated by the NEXT insert, which would invalidate its
+            # buffers while the background fetch thread still holds them —
+            # every fetch then fails and the host voxel gauge freezes
+            # (catastrophic: the bucketed render view stops growing with
+            # the map). The uint32 cast guarantees a distinct buffer ("+0"
+            # would be folded and output-deduplicated back to the alias).
+            return (new_state, point_store,
+                    new_state.num_voxels.astype(jnp.uint32),
+                    new_state.num_cells.astype(jnp.uint32))
 
         # Donation: every state pytree that a step consumes-and-returns is
         # donated so XLA updates buffers in place (the keyframe store alone
@@ -296,7 +320,18 @@ class SlamSystem:
         # point_store (argnum 1) is consumed-and-returned each insert —
         # donating it avoids copying the V*K point arrays per frame with
         # the pcd branch on (ADVICE r3 #5)
-        self._insert_jit = jax.jit(_insert_fn, donate_argnums=(0, 1))
+        if mesh is not None and mesh.shape.get("mp", 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from proudslam_tpu.parallel.engine import map_state_shardings
+            rep = NamedSharding(mesh, P())
+            pstore_sh = (None if self.point_store is None
+                         else jax.tree.map(lambda _: rep, self.point_store))
+            self._insert_jit = jax.jit(
+                _insert_fn, donate_argnums=(0, 1),
+                out_shardings=(map_state_shardings(mesh, self.map_state),
+                               pstore_sh, rep, rep))
+        else:
+            self._insert_jit = jax.jit(_insert_fn, donate_argnums=(0, 1))
         self._predict = jax.jit(_predict_fn)
         self._kf_angle = jax.jit(_kf_angle_fn)
         # background-thread D2H of observability scalars (see _HostFetcher)
@@ -347,7 +382,7 @@ class SlamSystem:
         """Backproject a depth map at the (refined) pose and allocate voxels
         (reference `create_voxels_pointcloud`, `mapping.py:258-295`); with
         the pcd branch on, also store the frame's points per voxel."""
-        new_state, self.point_store = self._insert_jit(
+        new_state, self.point_store, nv_fresh, nc_fresh = self._insert_jit(
             map_state, self.point_store, rgb, depth, pose6, self.rays_dir)
         # the host's bucket bound / capacity warning follow the device
         # counts via periodic background fetches — any main-thread D2H
@@ -356,12 +391,12 @@ class SlamSystem:
         # frames render without the very newest voxels, which is the
         # reference's stale-snapshot tracking semantics anyway
         # (`share.py`, SURVEY §5).
-        self._nv_dev = new_state.num_voxels
-        self._nc_dev = new_state.num_cells
+        self._nv_dev = nv_fresh
+        self._nc_dev = nc_fresh
         self._inserts += 1
         tags = (f"nv@{self._inserts}", f"nc@{self._inserts}")
-        self._fetcher.submit(tags[0], new_state.num_voxels)
-        self._fetcher.submit(tags[1], new_state.num_cells)
+        self._fetcher.submit(tags[0], nv_fresh)
+        self._fetcher.submit(tags[1], nc_fresh)
         self._nv_pending.append(tags)
         # consume the counters submitted _counter_lag inserts ago: the
         # bounded lag keeps bucket growth well inside the 3/4 prewarm
@@ -415,9 +450,16 @@ class SlamSystem:
                 f"tpu_specs.voxel_capacity / mapper_specs.num_embeddings",
                 file=sys.stderr, flush=True)
 
-    def counters(self) -> dict:
-        """Host-visible map occupancy counters — exact (blocking fetch)."""
-        self._drain_nv(block=True)
+    def counters(self, exact: bool = False) -> dict:
+        """Host-visible map occupancy counters.
+
+        Default: the fixed-lag host values (non-invasive — safe to call
+        mid-run for logging; a blocking refresh here used to perturb the
+        bucket schedule, making results depend on the LOGGING cadence).
+        ``exact=True`` performs a blocking fetch of the live device counts
+        (init / end-of-run)."""
+        if exact:
+            self._drain_nv(block=True)
         return {
             "num_voxels": self._nv,
             "num_cells": self._nc,
@@ -425,13 +467,21 @@ class SlamSystem:
             "cell_capacity": self.settings.map.num_embeddings,
         }
 
+    # The host voxel count lags the device by _counter_lag inserts; the
+    # render-view bucket adds this margin so the newest (frontier) voxels
+    # are NEVER truncated by staleness — losing even ~100 frontier voxels
+    # during a pan into unmapped territory collapses the tracker's hit
+    # ratio (measured 0.87 -> 0.19 and ATE 2.9 -> 9.8 cm from a 3-frame
+    # -stale count crossing a bucket boundary).
+    _NV_MARGIN = 512
+
     def _render_view(self) -> vh.MapState:
         """Voxel-table view sliced to the current power-of-2 bucket.
 
         Only the renderer-facing arrays (voxel_keys, voxel_vertex_ids) are
         sliced; num_voxels stays exact so validity masks are unchanged."""
         self._drain_nv()
-        b = self._bucket_for(self._nv)
+        b = self._bucket_for(self._nv + self._NV_MARGIN)
         ms = self.map_state
         if b >= ms.voxel_keys.shape[0]:
             return ms
@@ -441,8 +491,12 @@ class SlamSystem:
     def _bucket_for(self, nv: int) -> int:
         # The DDA intersection path is V-independent (O(path length) per
         # ray), so no bucketing is needed: one executable serves the whole
-        # run, and the bucket prewarm machinery short-circuits.
+        # run, and the bucket prewarm machinery short-circuits. Spatially
+        # -sharded maps (mp > 1) also render the full view: slicing a
+        # row-sharded table would reshard it every frame.
         if self.settings.render.intersect_mode == "dda":
+            return self.settings.map.voxel_capacity
+        if self.mesh is not None and self.mesh.shape.get("mp", 1) > 1:
             return self.settings.map.voxel_capacity
         b = 1024
         while b < nv:
@@ -455,7 +509,7 @@ class SlamSystem:
     def _maybe_prewarm(self):
         """Compile the next bucket's track/map executables in the background
         once the live voxel count passes 3/4 of the current bucket."""
-        b = self._bucket_for(self._nv)
+        b = self._bucket_for(self._nv + self._NV_MARGIN)
         V = self.settings.map.voxel_capacity
         if b >= V or self._nv < (3 * b) // 4:
             return
@@ -472,10 +526,14 @@ class SlamSystem:
         margin = max(2, gap // 4)
         if stamp - self.kf_stamps[self.num_kf - 1] < gap - margin:
             return
-        self._spawn_prewarm(self._bucket_for(self._nv),
+        self._spawn_prewarm(self._bucket_for(self._nv + self._NV_MARGIN),
                             self._current_wsel() + 1, do_track=False)
 
     def _spawn_prewarm(self, bucket: int, wsel: int, do_track: bool):
+        if self.mesh is not None:
+            # mesh runs compile against sharded avals; the plain-aval
+            # prewarm would populate the cache with unused variants
+            return
         key = (bucket, wsel, do_track)
         with self._prewarm_lock:
             if key in self._prewarmed:
@@ -636,7 +694,8 @@ class SlamSystem:
             jnp.asarray(depth, jnp.float32), pose6)
         # overlap the first tracked frame's compiles with the init rounds
         self._drain_nv(block=True)
-        self._spawn_prewarm(self._bucket_for(self._nv), 2, do_track=True)
+        self._spawn_prewarm(
+            self._bucket_for(self._nv + self._NV_MARGIN), 2, do_track=True)
 
         sel = jnp.zeros((1,), jnp.int32)
         valid = jnp.ones((1,), dtype=bool)
@@ -776,6 +835,75 @@ class SlamSystem:
                             self._next_key(), self.point_store,
                             update_pose=False, update_decoder=False)
             self._merge_map_result(res)
+
+    def global_refine(self, rounds: int = 2):
+        """Pose-updating global bundle adjustment over ALL keyframes.
+
+        The reference's final refinement freezes poses and refines the map
+        only (`mapping.py:158-163`), so accumulated keyframe drift is
+        never corrected. This instead sweeps overlapping sliding windows
+        across every committed keyframe with pose updates ON (slot-0 stays
+        the gauge anchor — `map_step` masks stamp-0 rows), re-running the
+        production BA step. Because the per-frame trajectory is stored as
+        (reference keyframe, relative pose) pairs and recomposed with the
+        *final* keyframe poses (`get_trajectory`), refining the keyframes
+        retroactively corrects every frame — a pose-graph-style drift
+        correction the reference cannot perform.
+
+        Window width matches the production BA window so the sweep reuses
+        the already-compiled map executable.
+        """
+        w0 = min(self.num_kf + 1,
+                 self.settings.mapper.window_size + 1)
+        if self.num_kf < 2 or w0 < 2:
+            return
+        stride = max(w0 - 1, 1)   # consecutive windows overlap by one
+        for _ in range(rounds):
+            for start in range(0, self.num_kf, stride):
+                start = min(start, self.num_kf - w0)
+                if start < 0:
+                    break
+                sel = jnp.arange(start, start + w0, dtype=jnp.int32)
+                valid = jnp.ones((w0,), dtype=bool)
+                res = self._map(self._render_view(), self.decoder_params,
+                                self.store, self.opt, self.rays_dir, sel,
+                                valid, self._next_key(), self.point_store)
+                self._merge_map_result(res)
+
+    def rebake_map(self, iterations: int = 200):
+        """Re-train the vertex embeddings from the stored keyframes at the
+        CURRENT (refined) keyframe poses, poses frozen.
+
+        Keyframes that drifted during exploration wrote ghosted geometry
+        into the map; pose refinement against a ghosted map plateaus.
+        Re-baking clears the embeddings (decoder is kept) and re-optimizes
+        them against all keyframes — alternate with :meth:`global_refine`
+        for a coordinate-descent pose/map refinement. Voxel allocation is
+        kept (drift is cm-scale vs 20 cm voxels, so the allocated set
+        still covers the corrected surfaces)."""
+        if self.num_kf < 1:
+            return
+        from proudslam_tpu.engine.adam import init_adam
+        self._key, k = jax.random.split(self._key)
+        E, D = self.map_state.embeddings.shape
+        emb = 0.01 * jax.random.normal(k, (E, D), dtype=jnp.float32)
+        self.map_state = self.map_state._replace(embeddings=emb)
+        self.opt = self.opt._replace(embed=init_adam(emb))
+        w0 = min(self.num_kf + 1, self.settings.mapper.window_size + 1)
+        stride = max(w0 - 1, 1)
+        rounds = max(1, iterations // self.settings.mapper.num_iterations)
+        for _ in range(rounds):
+            for start in range(0, self.num_kf, stride):
+                start = min(start, self.num_kf - w0)
+                if start < 0:
+                    break
+                sel = jnp.arange(start, start + w0, dtype=jnp.int32)
+                valid = jnp.ones((w0,), dtype=bool)
+                res = self._map(self._render_view(), self.decoder_params,
+                                self.store, self.opt, self.rays_dir, sel,
+                                valid, self._next_key(), self.point_store,
+                                update_pose=False)
+                self._merge_map_result(res)
 
     def get_track_stats(self) -> dict:
         """Per-frame tracking telemetry as host arrays (one batched fetch).

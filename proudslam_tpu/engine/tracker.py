@@ -91,9 +91,16 @@ def track_frame(map_state: vh.MapState, decoder_params,
             pointnet_params=(decoder_params.get("pointnet")
                              if rnd.feature_mode == "pcd" else None),
             corner_feats=corner_feats)
+        ray_w = None
+        if rnd.fresh_voxel_margin > 0:
+            # discount rays dominated by freshly-allocated (half-trained)
+            # voxels: their biased SDF drags the pose during pans into
+            # unmapped territory
+            ray_w = 1.0 - (1.0 - trk.fresh_ray_floor) * jax.lax.stop_gradient(
+                outputs.fresh_frac)
         loss, aux = compute_loss(
             outputs, gt_c, gt_d, settings.loss,
-            weight_depth_loss=trk.depth_variance)
+            weight_depth_loss=trk.depth_variance, ray_weights=ray_w)
         hit_ratio = jnp.mean(outputs.hit_mask.astype(jnp.float32))
         return loss, hit_ratio
 

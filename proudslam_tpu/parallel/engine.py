@@ -73,3 +73,32 @@ def shard_embeddings(mesh: Optional[Mesh], embeddings: jax.Array):
     if mesh is None:
         return embeddings
     return constrain(embeddings, mesh, ("mp", None))
+
+
+def map_state_shardings(mesh: Mesh, map_state):
+    """NamedSharding pytree for a MapState with the MAP ITSELF partitioned.
+
+    Spatial scale-out in the production engine (SURVEY §2.3 "map-space
+    sharding"): the embedding table, voxel table (keys + corner ids), the
+    inverse vertex map and the cell table are all row-sharded over ``mp``
+    so per-device map memory is O(V/mp + E/mp); counters replicate.
+    Renderer-side gathers against the sharded tables become GSPMD
+    collectives automatically; the embedding-gradient fold reduces back to
+    the owner shards through the gather transpose.
+    """
+    row = NamedSharding(mesh, P("mp"))
+    row2 = NamedSharding(mesh, P("mp", None))
+    rep = NamedSharding(mesh, P())
+    return type(map_state)(
+        cell_keys=row, cell_ids=row, cell_vslot=row, num_cells=rep,
+        voxel_keys=row, voxel_vertex_ids=row2, num_voxels=rep,
+        embeddings=row2, inv_map=row2)
+
+
+def place_map_state(mesh: Optional[Mesh], map_state):
+    """Store a MapState spatially sharded on the mesh (no-op if mesh=None
+    or the mesh has no model-parallel extent)."""
+    if mesh is None or mesh.shape.get("mp", 1) <= 1:
+        return map_state
+    return jax.tree.map(jax.device_put, map_state,
+                        map_state_shardings(mesh, map_state))

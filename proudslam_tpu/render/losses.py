@@ -36,13 +36,20 @@ def _masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 def compute_loss(outputs: RenderOutputs, gt_color: jnp.ndarray,
                  gt_depth: jnp.ndarray, settings: LossSettings,
                  weight_depth_loss: bool = False,
+                 ray_weights: jnp.ndarray = None,
                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Weighted SLAM loss.
 
     Args:
       gt_color: (R, 3); gt_depth: (R,) for the same ray lanes as outputs.
+      ray_weights: optional (R,) in [0, 1] — soft per-ray confidence
+        folded into every term's mask AND normalizer (weighted means);
+        used by the tracker to discount rays dominated by half-trained
+        frontier voxels.
     """
-    hit = outputs.hit_mask.astype(jnp.float32)            # (R,)
+    hitb = outputs.hit_mask.astype(jnp.float32)           # (R,) binary
+    wgt = jnp.ones_like(hitb) if ray_weights is None else ray_weights
+    hit = hitb * wgt                                      # weighted gate
     n_hit = jnp.maximum(jnp.sum(hit), 1.0)
 
     # ---- color -----------------------------------------------------------
@@ -63,12 +70,19 @@ def compute_loss(outputs: RenderOutputs, gt_color: jnp.ndarray,
         med = _masked_median(tmp, outputs.hit_mask)
         valid_depth &= tmp < 10.0 * med
     vd = valid_depth.astype(jnp.float32)
+    if ray_weights is not None:
+        vd = vd * ray_weights
     depth_loss = jnp.sum(depth_err * vd) / jnp.maximum(jnp.sum(vd), 1.0)
 
     # ---- free-space / truncated SDF (`criterion.py:78-116`) --------------
+    # the front/back/sdf region indicators must stay BINARY (fractional
+    # ray weights would corrupt the (1-front)(1-back) region logic and
+    # leak free-space samples into the sdf term); per-ray weights enter
+    # only as multiplicative factors on the squared errors and counts
     z = outputs.z_vals
     sdf = outputs.sdf
-    lane = outputs.sample_mask.astype(jnp.float32) * hit[:, None]
+    lane = outputs.sample_mask.astype(jnp.float32) * hitb[:, None]
+    wl = wgt[:, None]
     d_exp = gt_depth[:, None]
     eps = settings.truncation
 
@@ -78,8 +92,8 @@ def compute_loss(outputs: RenderOutputs, gt_color: jnp.ndarray,
         (d_exp > 0.0) & (d_exp < settings.max_depth), 1.0, 0.0)
     sdf_mask = (1.0 - front) * (1.0 - back) * depth_ok * lane
 
-    num_fs = jnp.sum(front)
-    num_sdf = jnp.sum(sdf_mask)
+    num_fs = jnp.sum(front * wl)
+    num_sdf = jnp.sum(sdf_mask * wl)
     num_total = jnp.maximum(num_fs + num_sdf, 1.0)
     fs_weight = 1.0 - num_fs / num_total
     sdf_weight = 1.0 - num_sdf / num_total
@@ -90,9 +104,10 @@ def compute_loss(outputs: RenderOutputs, gt_color: jnp.ndarray,
         jnp.max(jnp.sum(outputs.sample_mask, axis=-1)), 1).astype(jnp.float32)
     denom = n_hit * max_len
 
-    fs_loss = jnp.sum((sdf * front - front) ** 2) / denom * fs_weight
+    fs_loss = jnp.sum(wl * (sdf * front - front) ** 2) / denom * fs_weight
     sdf_loss = jnp.sum(
-        ((z + sdf * eps) * sdf_mask - d_exp * sdf_mask) ** 2) / denom * sdf_weight
+        wl * ((z + sdf * eps) * sdf_mask
+              - d_exp * sdf_mask) ** 2) / denom * sdf_weight
 
     loss = (settings.rgb_weight * color_loss
             + settings.depth_weight * depth_loss

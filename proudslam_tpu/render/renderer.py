@@ -40,6 +40,9 @@ class RenderOutputs(NamedTuple):
     sample_mask: jnp.ndarray  # (R, S) bool
     hit_mask: jnp.ndarray   # (R,) bool
     z_min: jnp.ndarray      # (R,) first zero-crossing depth
+    fresh_frac: jnp.ndarray = None  # (R,) fraction of hit slots in freshly
+    #   allocated voxels (see RenderSettings.fresh_voxel_margin; all-zero
+    #   when the margin is 0)
 
 
 def sdf_to_weights(sdf: jnp.ndarray, z_vals: jnp.ndarray,
@@ -148,6 +151,22 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     rgb = jnp.sum(weights[..., None] * color, axis=-2)
     depth = jnp.sum(weights * jnp.where(valid, z_vals, 0.0), axis=-1)
 
+    # voxel slots are allocated in insertion order, so slot index is a free
+    # age signal: slots within `fresh_voxel_margin` of the live count were
+    # allocated recently and their SDF is still half-trained. The tracker
+    # down-weights rays dominated by such voxels (pose bias from
+    # unconverged geometry is the main drift source during pans into
+    # unmapped territory — BENCH_NOTES r4).
+    hit_valid = inter.voxel_idx >= 0
+    if settings.fresh_voxel_margin > 0:
+        thresh = map_state.num_voxels - settings.fresh_voxel_margin
+        fresh = hit_valid & (inter.voxel_idx >= thresh)
+        fresh_frac = (jnp.sum(fresh, axis=-1).astype(jnp.float32)
+                      / jnp.maximum(jnp.sum(hit_valid, axis=-1), 1))
+    else:
+        fresh_frac = jnp.zeros(z_vals.shape[:1], jnp.float32)
+
     return RenderOutputs(
         color=rgb, depth=depth, sdf=sdf, z_vals=z_vals, weights=weights,
-        sample_mask=valid, hit_mask=inter.hit_mask, z_min=z_min)
+        sample_mask=valid, hit_mask=inter.hit_mask, z_min=z_min,
+        fresh_frac=fresh_frac)

@@ -49,9 +49,19 @@ def main():
                          "applied to the cached dataset in memory")
     ap.add_argument("--sampler", default=None,
                     choices=[None, "uniform", "gumbel"])
+    ap.add_argument("--fresh_margin", type=int, default=0,
+                    help="render.fresh_voxel_margin (tracker discounts "
+                         "rays hitting the newest N voxel slots)")
+    ap.add_argument("--fresh_floor", type=float, default=None,
+                    help="tracker.fresh_ray_floor (min weight for "
+                         "fresh-dominated rays)")
+    ap.add_argument("--refine", type=int, default=0,
+                    help="global_refine rounds after the run (ATE "
+                         "reported post-refine)")
     ap.add_argument("--segment", type=int, default=40)
     ap.add_argument("--panels", type=str, default="",
                     help="comma-separated frame indices to dump panels at")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tag", default="diag")
     args = ap.parse_args()
 
@@ -82,12 +92,15 @@ def main():
             base.render, max_hits=args.max_hits, max_samples=args.max_samples,
             intersect_mode=args.intersect, step_size=args.step_size,
             adaptive_step=args.adaptive.lower() == "true",
+            fresh_voxel_margin=args.fresh_margin,
             **({"pixel_sampler": args.sampler} if args.sampler else {})),
         decoder=(dataclasses.replace(base.decoder, matmul_dtype=args.matmul)
                  if args.matmul else base.decoder),
         tracker=dataclasses.replace(
             base.tracker, num_iterations=args.track_iters,
-            n_rays=args.n_rays),
+            n_rays=args.n_rays,
+            **({"fresh_ray_floor": args.fresh_floor}
+               if args.fresh_floor is not None else {})),
         mapper=dataclasses.replace(
             base.mapper, keyframe_gap=args.keyframe_gap,
             window_size=args.window_size, num_iterations=args.map_iters),
@@ -106,7 +119,8 @@ def main():
                 d * ds.depth_quant + 0.5, 0, 65535.0).astype(np.uint16))
     n_frames = min(args.frames, len(ds))
 
-    slam = SlamSystem(settings, ds.intrinsics, (ds.height, ds.width), seed=0,
+    slam = SlamSystem(settings, ds.intrinsics, (ds.height, ds.width),
+                      seed=args.seed,
                       point_stride=2)
     t0 = time.perf_counter()
     rgb0, depth0 = ds.dequantized(0)
@@ -142,6 +156,8 @@ def main():
     elapsed = time.perf_counter() - t0
     fps = (n_frames - 1) / elapsed
 
+    if args.refine > 0:
+        slam.global_refine(rounds=args.refine)
     est = slam.get_trajectory()
     gt = np.stack(ds.poses)[:len(est)]
     err_t = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=-1) * 100
@@ -168,7 +184,7 @@ def main():
         "track_loss_p50_p90_p99": q(stats["track_loss"]),
         "hit_ratio_min": round(float(stats["hit_ratio"].min()), 4)
         if len(stats["hit_ratio"]) else None,
-        "counters": slam.counters(), "kf": slam.num_kf,
+        "counters": slam.counters(exact=True), "kf": slam.num_kf,
     }
     print(json.dumps(out), flush=True)
 

@@ -132,7 +132,7 @@ def main():
               f"({100 * v / total:4.1f}%)")
     print(f"  {'total':>7}: {1000 * total / timed:7.2f} ms  "
           f"(pipelined bench will be faster)")
-    print(f"counters: {slam.counters()}")
+    print(f"counters: {slam.counters(exact=True)}")
 
 
 if __name__ == "__main__":

@@ -158,7 +158,7 @@ def main():
         slam.process_frame(i, rgb, depth)
         if i % 25 == 0:
             fps = (i - start + 1) / (time.perf_counter() - t0)
-            c = slam.counters()
+            c = slam.counters(exact=True)
             print(f"frame {i}/{end}  {fps:.2f} fps  "
                   f"voxels={c['num_voxels']}/{c['voxel_capacity']} "
                   f"cells={c['num_cells']}/{c['cell_capacity']} "
