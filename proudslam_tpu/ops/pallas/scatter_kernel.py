@@ -115,8 +115,13 @@ def _matmul_kernel(ids_ref, ghi_ref, glo_ref, out_ref, *, vt: int):
     # contractions ("Bad lhs type"), so contract standard (1),(0) form
     rows = jax.lax.broadcasted_iota(jnp.int32, (vt, chunk), 0) + v0
     onehot = (ids_ref[:] == rows).astype(jnp.bfloat16)    # (vt, chunk)
-    acc = jnp.dot(onehot, ghi_ref[:], preferred_element_type=jnp.float32)
-    acc += jnp.dot(onehot, glo_ref[:], preferred_element_type=jnp.float32)
+    # DEFAULT precision: the package-global highest would make Mosaic
+    # emulate the bf16 dot multi-pass, which it rejects ("Bad lhs type")
+    prec = jax.lax.Precision.DEFAULT
+    acc = jnp.dot(onehot, ghi_ref[:], preferred_element_type=jnp.float32,
+                  precision=prec)
+    acc += jnp.dot(onehot, glo_ref[:], preferred_element_type=jnp.float32,
+                   precision=prec)
     out_ref[:] += acc
 
 

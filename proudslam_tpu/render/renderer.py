@@ -114,6 +114,44 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
 
     sampled_xyz = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     R, S = z_vals.shape
+    from proudslam_tpu.ops.pallas.render_kernel import (
+        fused_feats_decode, fused_render_applicable)
+    if (settings.feature_mode != "pcd"
+            and fused_render_applicable(decoder_settings)):
+        # fully fused sample-feature + decoder forward (Pallas): no
+        # (R,S,128) HBM intermediates; custom VJP routes gradients to the
+        # corner view / pose exactly like the XLA path
+        from proudslam_tpu.ops.interp import corner_view
+        vidx = jnp.maximum(inter.voxel_idx, 0)
+        EV = corner_feats
+        if EV is None:
+            EV = corner_view(embeddings, map_state.voxel_vertex_ids,
+                             getattr(map_state, "inv_map", None))
+        keys_rb = map_state.voxel_keys[vidx]
+        S_bins = jnp.where(valid, bins, jnp.int32(inter.voxel_idx.shape[1]))
+        out = fused_feats_decode(
+            EV, keys_rb, vidx, S_bins, z_vals, rays_o, rays_d,
+            decoder_params, settings, decoder_settings)
+        color = out[:, :3].reshape(R, S, 3)
+        sdf = out[:, 3].reshape(R, S)
+        sdf = jnp.where(valid, sdf, 1.0)
+        color = jnp.where(valid[..., None], color, 0.0)
+        weights, z_min = sdf_to_weights(sdf, z_vals, valid,
+                                        settings.truncation)
+        rgb = jnp.sum(weights[..., None] * color, axis=-2)
+        depth = jnp.sum(weights * jnp.where(valid, z_vals, 0.0), axis=-1)
+        hit_valid = inter.voxel_idx >= 0
+        if settings.fresh_voxel_margin > 0:
+            thresh = map_state.num_voxels - settings.fresh_voxel_margin
+            fresh = hit_valid & (inter.voxel_idx >= thresh)
+            fresh_frac = (jnp.sum(fresh, axis=-1).astype(jnp.float32)
+                          / jnp.maximum(jnp.sum(hit_valid, axis=-1), 1))
+        else:
+            fresh_frac = jnp.zeros(z_vals.shape[:1], jnp.float32)
+        return RenderOutputs(
+            color=rgb, depth=depth, sdf=sdf, z_vals=z_vals,
+            weights=weights, sample_mask=valid, hit_mask=inter.hit_mask,
+            z_min=z_min, fresh_frac=fresh_frac)
     if settings.feature_mode == "pcd":
         from proudslam_tpu.render.pcd_features import gather_pcd_features
         assert point_store is not None and pointnet_params is not None, \

@@ -55,6 +55,9 @@ def main():
     ap.add_argument("--fresh_floor", type=float, default=None,
                     help="tracker.fresh_ray_floor (min weight for "
                          "fresh-dominated rays)")
+    ap.add_argument("--midrefine", type=int, default=0,
+                    help="every N frames, run one global_refine sweep "
+                         "mid-run (corrects drift before it compounds)")
     ap.add_argument("--refine", type=int, default=0,
                     help="global_refine rounds after the run (ATE "
                          "reported post-refine)")
@@ -140,6 +143,8 @@ def main():
             _, rgb, depth, _, _ = ds[i + 1]
             pending = slam.upload_frame(rgb, depth)
         slam.process_frame(i, *cur)
+        if args.midrefine and i % args.midrefine == 0:
+            slam.global_refine(rounds=1)
         seg_n += 1
         if i % args.segment == 0:
             jax.block_until_ready(slam.map_state.embeddings)

@@ -99,8 +99,9 @@ def main():
     mstate = {"ms": slam.map_state}
 
     def ins_dispatch():
-        mstate["ms"], _ = slam._insert_jit(mstate["ms"], slam.point_store,
-                                           rgb_d, depth_d, p6, slam.rays_dir)
+        mstate["ms"], _, _, _ = slam._insert_jit(
+            mstate["ms"], slam.point_store, rgb_d, depth_d, p6,
+            slam.rays_dir)
         return mstate["ms"]
     r["insert"] = timed("insert", ins_dispatch, lambda o: o.num_voxels)
 
