@@ -7,9 +7,11 @@ Progress goes to stderr.
 Workload (matches the reference's Replica-room0 operating point,
 `/root/reference/configs/replica/replica.yaml` + `src/mapping.py:136`):
 480 frames of a 12x3.2x12 m analytic scene at 320x240, map growing past
-10k SURFACE voxels at 0.2 m, keyframe commits every 51 stamps (~9 committed
-keyframes, saturating the 4+1 BA window), per-frame budget = 30x1024-ray
-tracking iters + 10x(5x1024)-ray BA iters + voxel insertion.
+10k SURFACE voxels at 0.2 m, keyframe commits every 12 stamps (~39
+committed keyframes — denser anchors than the reference's 50-stamp rule at
+identical per-frame compute; the apples-to-apples gap-50 row is in
+BENCH_NOTES r4), per-frame budget = 30x1024-ray tracking iters +
+10x(5x1024)-ray BA iters + voxel insertion.
 
 The reference publishes no numbers (BASELINE.md); the upstream Vox-Fusion
 system class runs ~2 frames/s on an RTX-3090-class GPU at this budget.
@@ -52,7 +54,9 @@ def load_or_make_dataset(n_frames=N_FRAMES, width=WIDTH, height=HEIGHT):
         if (int(data["n"]) == n_frames and int(data["w"]) == width
                 and int(data["h"]) == height and ver == SCENE_VERSION):
             log("bench: using cached dataset")
+            from proudslam_tpu.data.synthetic import AnalyticScene
             ds = BenchDataset.__new__(BenchDataset)
+            ds.scene = AnalyticScene()   # mesh eval needs surface_distance
             ds.width, ds.height = width, height
             ds.max_depth = float(data["max_depth"])
             ds.fx = ds.fy = 0.9 * width

@@ -860,7 +860,12 @@ class SlamSystem:
         stride = max(w0 - 1, 1)   # consecutive windows overlap by one
         for _ in range(rounds):
             for start in range(0, self.num_kf, stride):
-                start = min(start, self.num_kf - w0)
+                # windows cover slots 0..num_kf inclusive — the provisional
+                # slot (num_kf) holds the last tracked frame, matching the
+                # online BA window (ADVICE r4 #1: the old `num_kf - w0`
+                # clamp went negative for num_kf <= window_size and the
+                # sweep silently no-oped)
+                start = min(start, self.num_kf + 1 - w0)
                 if start < 0:
                     break
                 sel = jnp.arange(start, start + w0, dtype=jnp.int32)
@@ -894,7 +899,10 @@ class SlamSystem:
         rounds = max(1, iterations // self.settings.mapper.num_iterations)
         for _ in range(rounds):
             for start in range(0, self.num_kf, stride):
-                start = min(start, self.num_kf - w0)
+                # slots 0..num_kf inclusive (see global_refine; ADVICE r4
+                # #1 — the old clamp could no-op the sweep AFTER the
+                # embeddings were already reset, destroying the map)
+                start = min(start, self.num_kf + 1 - w0)
                 if start < 0:
                     break
                 sel = jnp.arange(start, start + w0, dtype=jnp.int32)

@@ -100,17 +100,24 @@ def unpack_grads(g: FusedParams, settings: DecoderSettings) -> dict:
 # VMEM budget. The decoder tolerates bf16 MXU operands (f32 accumulate) —
 # the XLA path runs matmul_dtype="bf16" in the bench config with unchanged
 # ATE — and bf16 doubles MXU throughput over single-pass f32, which is
-# what let the round-3 f32 kernel lose to XLA. Pin explicitly.
+# what let the round-3 f32 kernel lose to XLA. Pin explicitly; the operand
+# cast is gated on DecoderSettings.matmul_dtype so a f32 config gets the
+# same dtype semantics as the XLA path (ADVICE r4 #3).
 _PREC = jax.lax.Precision.DEFAULT
 _BF16 = jnp.bfloat16
 
 
-def _dot(a, b):
-    return jnp.dot(a.astype(_BF16), b.astype(_BF16),
-                   preferred_element_type=jnp.float32, precision=_PREC)
+def _make_dot(bf16: bool):
+    def _dot(a, b):
+        if bf16:
+            a, b = a.astype(_BF16), b.astype(_BF16)
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=_PREC)
+    return _dot
 
 
-def _fwd_tile(x, p: Tuple[jnp.ndarray, ...]):
+def _fwd_tile(x, p: Tuple[jnp.ndarray, ...], bf16: bool):
+    _dot = _make_dot(bf16)
     (w1, b1, w2, b2, ws, bs, wc_f, wc_x, bc, wo, bo) = p
     h1 = jax.nn.relu(_dot(x, w1) + b1)
     h2 = jax.nn.relu(_dot(h1, w2) + b2)
@@ -123,17 +130,17 @@ def _fwd_tile(x, p: Tuple[jnp.ndarray, ...]):
 
 
 def _fwd_kernel(x_ref, w1, b1, w2, b2, ws, bs, wc_f, wc_x, bc, wo, bo,
-                out_ref):
+                out_ref, *, bf16: bool):
     x = x_ref[:]
     p = (w1[:], b1[:], w2[:], b2[:], ws[:], bs[:], wc_f[:], wc_x[:],
          bc[:], wo[:], bo[:])
-    _, _, _, sdf, _, rgb = _fwd_tile(x, p)
+    _, _, _, sdf, _, rgb = _fwd_tile(x, p, bf16)
     out_ref[:] = jnp.concatenate([rgb, sdf], axis=1)
 
 
 def _bwd_kernel(x_ref, g_ref, w1, b1, w2, b2, ws, bs, wc_f, wc_x, bc, wo, bo,
                 dx_ref, dw1, db1, dw2, db2, dws, dbs, dwc_f, dwc_x, dbc,
-                dwo, dbo):
+                dwo, dbo, *, bf16: bool):
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
@@ -146,13 +153,16 @@ def _bwd_kernel(x_ref, g_ref, w1, b1, w2, b2, ws, bs, wc_f, wc_x, bc, wo, bo,
     g = g_ref[:]
     p = (w1[:], b1[:], w2[:], b2[:], ws[:], bs[:], wc_f[:], wc_x[:],
          bc[:], wo[:], bo[:])
-    h1, h2, feat, sdf, hc, rgb = _fwd_tile(x, p)
+    h1, h2, feat, sdf, hc, rgb = _fwd_tile(x, p, bf16)
+    _dot = _make_dot(bf16)
 
     f32 = jnp.float32
     cdims = (((0,), (0,)), ((), ()))        # contract the sample axis
 
     def _dotg(a, b):
-        return jax.lax.dot_general(a.astype(_BF16), b.astype(_BF16), cdims,
+        if bf16:
+            a, b = a.astype(_BF16), b.astype(_BF16)
+        return jax.lax.dot_general(a, b, cdims,
                                    preferred_element_type=f32,
                                    precision=_PREC)
 
@@ -189,11 +199,12 @@ def _param_specs():
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(11)]
 
 
-def _run_fwd(x: jnp.ndarray, fp: FusedParams, interpret: bool) -> jnp.ndarray:
+def _run_fwd(x: jnp.ndarray, fp: FusedParams, interpret: bool,
+             bf16: bool) -> jnp.ndarray:
     N = x.shape[0]
     grid = N // TILE
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, bf16=bf16),
         grid=(grid,),
         in_specs=[pl.BlockSpec((TILE, x.shape[1]), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] + _param_specs(),
@@ -205,7 +216,7 @@ def _run_fwd(x: jnp.ndarray, fp: FusedParams, interpret: bool) -> jnp.ndarray:
 
 
 def _run_bwd(x: jnp.ndarray, g: jnp.ndarray, fp: FusedParams,
-             interpret: bool):
+             interpret: bool, bf16: bool):
     N, D = x.shape
     grid = N // TILE
     out_shapes = (
@@ -219,7 +230,7 @@ def _run_bwd(x: jnp.ndarray, g: jnp.ndarray, fp: FusedParams,
           for p in fp),
     )
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, bf16=bf16),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((TILE, D), lambda i: (i, 0),
@@ -233,20 +244,20 @@ def _run_bwd(x: jnp.ndarray, g: jnp.ndarray, fp: FusedParams,
     )(x, g, *fp)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def fused_decoder(x: jnp.ndarray, fp: FusedParams,
-                  interpret: bool = False) -> jnp.ndarray:
+                  interpret: bool = False, bf16: bool = True) -> jnp.ndarray:
     """(N, in_dim) features -> (N, 4) [r, g, b, sdf]; N padded to TILE."""
-    return _run_fwd(x, fp, interpret)
+    return _run_fwd(x, fp, interpret, bf16)
 
 
-def _vjp_fwd(x, fp, interpret):
-    return _run_fwd(x, fp, interpret), (x, fp)
+def _vjp_fwd(x, fp, interpret, bf16):
+    return _run_fwd(x, fp, interpret, bf16), (x, fp)
 
 
-def _vjp_bwd(interpret, res, g):
+def _vjp_bwd(interpret, bf16, res, g):
     x, fp = res
-    outs = _run_bwd(x, g, fp, interpret)
+    outs = _run_bwd(x, g, fp, interpret, bf16)
     dx = outs[0]
     dfp = FusedParams(*outs[1:])
     return dx, dfp
@@ -262,6 +273,8 @@ def decoder_values_fused(params: dict, settings: DecoderSettings,
 
     Pads the sample count to a TILE multiple; gradients flow to both the
     features and the (dict-layout) parameters through the custom VJP.
+    The matmul operand dtype follows ``settings.matmul_dtype`` ("bf16"
+    casts operands, f32 accumulate — same semantics as the XLA path).
     """
     fp = pack_params(params, settings)
     N = x.shape[0]
@@ -269,5 +282,5 @@ def decoder_values_fused(params: dict, settings: DecoderSettings,
     if pad:
         x = jnp.concatenate(
             [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
-    out = fused_decoder(x, fp, interpret)
+    out = fused_decoder(x, fp, interpret, settings.matmul_dtype == "bf16")
     return out[:N]

@@ -26,3 +26,8 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute CPU integration runs")

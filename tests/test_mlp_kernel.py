@@ -11,6 +11,9 @@ from proudslam_tpu.ops.pallas.mlp_kernel import (
     TILE, decoder_values_fused, pack_params, unpack_grads)
 
 SET = DecoderSettings()  # default arch: depth 2, width 128, in 16, sdf 128
+# (matmul_dtype="f32": the kernel matches the f32 XLA oracle tightly; the
+# production bench config runs matmul_dtype="bf16", tested loosely below)
+SET_BF16 = DecoderSettings(matmul_dtype="bf16")
 
 
 @pytest.fixture(scope="module")
@@ -31,6 +34,23 @@ def test_forward_with_padding(params):
     out = decoder_values_fused(params, SET, x, interpret=True)
     assert out.shape == (300, 4)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_forward_bf16_matches_oracle_loosely(params):
+    """bf16 operand cast (production config): bf16 has 8 mantissa bits, so
+    five chained matmuls at width 128 bound the relative error around
+    2^-8 * sqrt(128) ~ 4%; sigmoid/relu compress it. Assert a 10% envelope
+    on the f32 oracle plus agreement with sdf sign (what the renderer's
+    zero-crossing logic consumes)."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (TILE, SET.in_dim))
+    ref = decoder_values(params, SET, x)
+    out = decoder_values_fused(params, SET_BF16, x, interpret=True)
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.maximum(np.abs(np.asarray(ref)), 0.05)
+    assert np.max(err / scale) < 0.10
+    sign_agree = np.mean(np.sign(np.asarray(out)[:, 3])
+                         == np.sign(np.asarray(ref)[:, 3]))
+    assert sign_agree > 0.99
 
 
 def test_gradients_match_oracle(params):

@@ -60,7 +60,9 @@ def test_noisy_depth_100_frames():
     # locked (RPE < motion), degrading gracefully. The TPU-scale run at the
     # full budget is scripts/diag_bench.py --noise 0.01 (see BENCH_NOTES).
     assert rpe < 3.2, f"RPE {rpe:.2f} cm under 1% depth noise"
-    assert ate < 20.0, f"ATE {ate:.2f} cm under 1% depth noise"
+    # ATE at this budget calibrates to ~3x the RPE bound (random-walk
+    # accumulation over the 100 frames, partially corrected by BA)
+    assert ate < 10.0, f"ATE {ate:.2f} cm under 1% depth noise"
 
 
 def test_skip_frame_leading_corrupt_stays_aligned():
