@@ -43,13 +43,16 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def load_or_make_dataset(n_frames=N_FRAMES, width=WIDTH, height=HEIGHT):
+def load_or_make_dataset(n_frames=N_FRAMES, width=WIDTH, height=HEIGHT,
+                         trajectory="scan"):
     import numpy as np
 
     from proudslam_tpu.data.synthetic import BenchDataset
 
-    if os.path.exists(CACHE):
-        data = np.load(CACHE)
+    cache = (CACHE if trajectory == "scan"
+             else CACHE.replace(".npz", f".{trajectory}.npz"))
+    if os.path.exists(cache):
+        data = np.load(cache)
         ver = int(data["scene_version"]) if "scene_version" in data.files else 1
         if (int(data["n"]) == n_frames and int(data["w"]) == width
                 and int(data["h"]) == height and ver == SCENE_VERSION):
@@ -70,9 +73,9 @@ def load_or_make_dataset(n_frames=N_FRAMES, width=WIDTH, height=HEIGHT):
             return ds
     log("bench: generating dataset...")
     ds = BenchDataset(num_frames=n_frames, width=width, height=height,
-                      radius=RADIUS)
+                      radius=RADIUS, trajectory=trajectory)
     np.savez_compressed(
-        CACHE, n=n_frames, w=width, h=height, scene_version=SCENE_VERSION,
+        cache, n=n_frames, w=width, h=height, scene_version=SCENE_VERSION,
         max_depth=ds.max_depth,
         poses=np.stack(ds.poses),
         rgb=np.stack([f[0] for f in ds.frames]),
@@ -85,22 +88,29 @@ def bench_settings():
         DecoderSettings, LossSettings, MapSettings, MapperSettings,
         RenderSettings, SystemSettings, TrackerSettings)
 
-    # Full reference sample budget: step 0.02 m with enough sample slots
-    # that `adaptive_step` never coarsens a typical ray (the reference
-    # draws ~arc/0.02 samples uncapped, `voxel_helpers.py:637-663`).
-    # Intersection is the bucketed brute slab+top-k (2x faster than DDA
-    # at bench scale — the DDA occupancy lookup is gather-overhead-bound;
-    # bucket-growth recompiles are prewarmed off-thread, BENCH_NOTES r4).
+    # Reference iteration budget (30x1024 track + 10x(5x1024) BA), step
+    # 0.02 m. Round-5 operating point (BENCH_NOTES r5): S=64 sample slots
+    # (`adaptive_step` coarsens only the longest rays), per-round FIXED
+    # ray batches (intersect+sample hoisted out of both Adam scans), and
+    # a 1024-voxel steady-state insert budget — together 360 -> ~190 ms
+    # per frame at unchanged iteration counts. Intersection is the
+    # bucketed brute slab+top-k (DDA measured slower at bench scale even
+    # hoisted: 186 vs 152 ms map step, probe_map r5; bucket-growth
+    # recompiles are prewarmed off-thread).
     return SystemSettings(
         render=RenderSettings(voxel_size=0.2, step_size=0.02, truncation=0.1,
-                              max_distance=10.0, max_hits=12, max_samples=96,
+                              max_distance=10.0, max_hits=12, max_samples=64,
                               intersect_mode="brute",
                               # tracker discounts rays dominated by the
                               # newest (half-trained) voxels — the main
-                              # pan-drift source (BENCH_NOTES r4)
-                              fresh_voxel_margin=1536),
+                              # pan-drift source (BENCH_NOTES r4). The
+                              # freshness window is scale-free: "allocated
+                              # within the last 50 inserts" at whatever
+                              # rate the scene produces (BENCH_NOTES r5)
+                              fresh_window_frames=50),
         map=MapSettings(voxel_size=0.2, num_embeddings=40960, embed_dim=16,
-                        voxel_capacity=20480, frame_voxel_capacity=4096),
+                        voxel_capacity=20480, frame_voxel_capacity=4096,
+                        frame_voxel_capacity_steady=1024),
         # fused_mlp off: the bf16 Pallas decoder wins standalone (7.7 vs
         # 13.4 ms fwd+bwd) but loses IN CONTEXT — the pallas_call boundary
         # blocks XLA's fusion of the gather einsum into the first matmul
@@ -109,7 +119,8 @@ def bench_settings():
         decoder=DecoderSettings(depth=2, width=128, in_dim=16, sdf_dim=128,
                                 matmul_dtype="bf16"),
         tracker=TrackerSettings(n_rays=1024, num_iterations=30,
-                                learning_rate=0.01),
+                                learning_rate=0.01,
+                                fixed_sample_batch=True),
         # keyframe_gap 12: denser anchors than the reference's hardcoded
         # 50-stamp rule (`mapping.py:136`) at zero per-frame compute cost
         # (window size and BA iterations unchanged); best mean ATE over a
@@ -117,7 +128,8 @@ def bench_settings():
         # there for apples-to-apples comparison)
         mapper=MapperSettings(n_rays_each=1024, window_size=4,
                               num_iterations=10, keyframe_gap=12,
-                              max_keyframes=64, init_iterations=200),
+                              max_keyframes=64, init_iterations=200,
+                              fixed_sample_batch=True),
         loss=LossSettings(),
     )
 

@@ -168,6 +168,13 @@ class RenderSettings:
     # (their SDF is still half-trained). > 0 exposes a per-ray fresh-hit
     # fraction the tracker uses to discount unreliable rays; 0 = off.
     fresh_voxel_margin: int = 0
+    # scale-free alternative to fresh_voxel_margin: "fresh" = allocated
+    # within the last N frames. The engine tracks the live voxel count per
+    # insertion and passes the count from N inserts ago as the freshness
+    # threshold — the margin then automatically follows the scene's actual
+    # allocation rate (an absolute slot margin is scene/voxel-size
+    # dependent, VERDICT r4 weak #9). > 0 overrides fresh_voxel_margin.
+    fresh_window_frames: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -179,6 +186,15 @@ class MapSettings:
     embed_dim: int = 16              # decoder_specs.in_dim
     voxel_capacity: int = 20000      # max SURFACE voxels
     frame_voxel_capacity: int = 8192  # max unique new voxels per insertion
+    # smaller per-insert capacity for steady-state frames (0 = same as
+    # frame_voxel_capacity). The insert step's sort/unique/scatter sizes
+    # all scale with the frame capacity (measured 25.5/11/8.6 ms at
+    # F=4096/1024/512, probe_insert.py) while a steady frame allocates
+    # only ~30-50 new voxels; the first frame (seeding a big chunk of the
+    # scene) uses the full capacity. Overflow is self-healing: a voxel
+    # dropped by the truncated unique is re-observed and allocated on the
+    # next frame.
+    frame_voxel_capacity_steady: int = 0
     # integer coordinate packing: coords biased by +2^(bits-1), bits per axis
     coord_bits: int = 10
     # keep a per-voxel point cloud (VoxelPointStore) alongside the voxel
@@ -232,6 +248,13 @@ class TrackerSettings:
     # minimum weight for rays dominated by fresh voxels (only active when
     # render.fresh_voxel_margin > 0): ray weight = 1-(1-floor)*fresh_frac
     fresh_ray_floor: float = 0.2
+    # sample ONE pixel batch per tracked frame and reuse it across all
+    # Adam iterations (the reference re-samples every iteration,
+    # `render_helpers.py:702-757`). Intersection + stratified sampling
+    # hoist out of the pose scan (~1/3 of the iteration cost); the 6-dof
+    # pose from 1024 rays is ~170x over-determined, so a fixed batch
+    # changes the estimate negligibly (validated: BENCH_NOTES r5).
+    fixed_sample_batch: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -258,6 +281,17 @@ class MapperSettings:
     # (`mapping.py:52`, `octree.cpp:381-417`); rotation-triggered commits
     # are the standard motion-based keyframing fix.
     keyframe_rotation_deg: float = 10.0
+    # voxel-insertion cadence: insert every Nth frame's depth cloud
+    # (the reference inserts every frame, `mapping.py:258-295`, but at
+    # ~1 cm/frame motion consecutive clouds allocate nearly identical
+    # voxel sets — the insert step's sort/scatter cost amortizes at
+    # stride 2 with the frontier appearing one frame later, which the
+    # fresh-ray weighting already discounts). 1 = reference behavior.
+    insert_stride: int = 1
+    # per-BA-round fixed ray batches (see TrackerSettings
+    # .fixed_sample_batch): one pixel batch per window frame per round,
+    # intersect+sample hoisted out of the 10-iteration BA scan
+    fixed_sample_batch: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -338,6 +338,27 @@ def orbit_poses(num_frames: int, radius: float = 2.2,
     return poses
 
 
+def corridor_poses(num_frames: int, span: float = 3.0,
+                   look_wobble: float = 0.35,
+                   look_cycles: float = 6.0) -> List[np.ndarray]:
+    """Straight push along -z->+z across the room with sinusoidal
+    look-around yaw nods (corridor-style forward exploration)."""
+    poses = []
+    for i in range(num_frames):
+        a = i / max(num_frames - 1, 1)
+        yaw = look_wobble * np.sin(look_cycles * np.pi * a)
+        pos = np.array([0.3 * np.sin(2.0 * np.pi * a),
+                        0.06 * np.sin(7.0 * np.pi * a),
+                        -span / 2.0 + span * a])
+        c, si = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, si], [0, 1, 0], [-si, 0, c]])
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        poses.append(T)
+    return poses
+
+
 class SyntheticDataset:
     """In-memory RGB-D sequence matching the reference loader protocol
     (`src/dataset/replica.py`): __len__, __getitem__ ->
@@ -385,20 +406,36 @@ class BenchDataset:
     def __init__(self, num_frames: int = 480, width: int = 320,
                  height: int = 240, radius: float = 1.1,
                  max_depth: float = 10.0, depth_noise: float = 0.0,
-                 seed: int = 0):
+                 seed: int = 0, trajectory: str = "scan"):
         self.scene = AnalyticScene()
         self.width, self.height = width, height
         self.max_depth = max_depth
         self.fx = self.fy = 0.9 * width
         self.cx, self.cy = (width - 1) / 2.0, (height - 1) / 2.0
-        # half-circle room scan with pan sweeps and a gentle pitch nod
-        # (floor/ceiling coverage): <= ~1 cm + 1.3 deg/frame of motion —
-        # Replica-class statistics; see orbit_poses on why revisit-heavy
-        # scanning is the reference workload regime
-        self.poses = orbit_poses(num_frames, radius=radius,
-                                 total_yaw=np.pi, yaw_wobble=1.0,
-                                 yaw_cycles=3.0, pitch_wobble=0.22,
-                                 pitch_cycles=4.0)
+        if trajectory == "scan":
+            # half-circle room scan with pan sweeps and a gentle pitch nod
+            # (floor/ceiling coverage): <= ~1 cm + 1.3 deg/frame of motion
+            # — Replica-class statistics; see orbit_poses on why
+            # revisit-heavy scanning is the reference workload regime
+            self.poses = orbit_poses(num_frames, radius=radius,
+                                     total_yaw=np.pi, yaw_wobble=1.0,
+                                     yaw_cycles=3.0, pitch_wobble=0.22,
+                                     pitch_cycles=4.0)
+        elif trajectory == "monotonic":
+            # strictly monotonic sweep — every sector viewed exactly once;
+            # random-walk drift growth (no re-anchoring). Harder than the
+            # reference's Replica captures.
+            self.poses = orbit_poses(num_frames, radius=radius,
+                                     total_yaw=np.pi, yaw_wobble=0.0,
+                                     pitch_wobble=0.22, pitch_cycles=4.0)
+        elif trajectory == "corridor":
+            # straight push across the room with small look-around nods:
+            # forward-dominant exploration, frontier always ahead (the
+            # voxel-allocation-rate regime an absolute freshness margin
+            # mis-tunes for, VERDICT r4 weak #9)
+            self.poses = corridor_poses(num_frames, span=2.0 * radius)
+        else:
+            raise ValueError(f"unknown trajectory {trajectory!r}")
         self.depth_quant = 65535.0 / max_depth
         rng = np.random.default_rng(seed)
         self.frames = []

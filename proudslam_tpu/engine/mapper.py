@@ -101,7 +101,8 @@ def map_step(map_state: vh.MapState, decoder_params,
         occupancy = build_occupancy(map_state.voxel_keys,
                                     map_state.num_voxels, rnd)
 
-    def loss_fn(embeddings, dec_params, poses, dirs, gt_c, gt_d, noise):
+    def loss_fn(embeddings, dec_params, poses, dirs, gt_c, gt_d, noise,
+                precomputed=None):
         R = se3.exp_rotation(poses[:, 3:6])                   # (Wsel, 3, 3)
         world_d = jnp.einsum("fnd,fed->fne", dirs, R)         # d @ R^T
         world_o = jnp.broadcast_to(
@@ -112,16 +113,15 @@ def map_step(map_state: vh.MapState, decoder_params,
             dec_params, settings.decoder, rnd, noise.reshape(-1, SJ),
             occupancy=occupancy, point_store=point_store,
             pointnet_params=(dec_params.get("pointnet")
-                             if rnd.feature_mode == "pcd" else None))
+                             if rnd.feature_mode == "pcd" else None),
+            precomputed=precomputed)
         loss, _ = compute_loss(
             outputs, gt_c.reshape(-1, 3), gt_d.reshape(-1), settings.loss,
             weight_depth_loss=False)
         return loss
 
-    def step(carry, _):
-        (embeddings, dec_params, poses, pm, pv, pt,
-         embed_opt, dec_opt, k) = carry
-        k, k_noise, k_pix = jax.random.split(k, 3)
+    def sample_batch(k):
+        k_noise, k_pix = jax.random.split(k)
         pix = jax.vmap(
             lambda kk: sample_frame_pixels(kk, None, n_rays,
                                            method=rnd.pixel_sampler,
@@ -131,12 +131,39 @@ def map_step(map_state: vh.MapState, decoder_params,
         gt_c = jnp.take_along_axis(sel_rgb, pix[..., None], axis=1)
         gt_d = jnp.take_along_axis(sel_depth, pix, axis=1)
         noise = jax.random.uniform(k_noise, (Wsel, n_rays, SJ))
-        dirs, gt_c, gt_d, noise = shard_ray_batch(
-            mesh, 1, dirs, gt_c, gt_d, noise)
+        return shard_ray_batch(mesh, 1, dirs, gt_c, gt_d, noise)
+
+    # fixed-batch mode: ONE pixel batch for the whole BA round, with
+    # intersect + stratified sampling hoisted out of the 10-iteration
+    # scan (~1/3 of the iteration cost; hit topology is loop-invariant
+    # at the sub-mm per-iteration pose updates — BENCH_NOTES r5)
+    fixed = None
+    if mpr.fixed_sample_batch:
+        from proudslam_tpu.render.renderer import intersect_and_sample
+        key, k_batch = jax.random.split(key)
+        f_dirs, f_gt_c, f_gt_d, f_noise = sample_batch(k_batch)
+        poses0 = store.poses[sel_idx]
+        R0 = se3.exp_rotation(poses0[:, 3:6])
+        w_d = jnp.einsum("fnd,fed->fne", f_dirs, R0)
+        w_o = jnp.broadcast_to(
+            (poses0[:, 0:3] + origin_shift)[:, None, :], w_d.shape)
+        fixed = intersect_and_sample(
+            w_o.reshape(-1, 3), w_d.reshape(-1, 3), map_state, rnd,
+            f_noise.reshape(-1, SJ), occupancy=occupancy)
+
+    def step(carry, _):
+        (embeddings, dec_params, poses, pm, pv, pt,
+         embed_opt, dec_opt, k) = carry
+        if mpr.fixed_sample_batch:
+            dirs, gt_c, gt_d, noise = f_dirs, f_gt_c, f_gt_d, f_noise
+        else:
+            k, k_batch = jax.random.split(k)
+            dirs, gt_c, gt_d, noise = sample_batch(k_batch)
 
         loss, (g_emb, g_dec, g_pose) = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2))(
-                embeddings, dec_params, poses, dirs, gt_c, gt_d, noise)
+                embeddings, dec_params, poses, dirs, gt_c, gt_d, noise,
+                fixed)
 
         embeddings, embed_opt = adam_update(
             embeddings, g_emb, embed_opt, mpr.embed_lr)

@@ -220,10 +220,11 @@ class SlamSystem:
 
         # settings structs are captured by closure (static), not traced
         def _track_fn(map_state, decoder_params, prev_pose, rays_dir,
-                      rgb, depth, key, point_store):
+                      rgb, depth, key, point_store, fresh_thresh):
             return track_frame(map_state, decoder_params, prev_pose,
                                rays_dir, rgb, depth, key, settings,
-                               mesh=mesh, point_store=point_store)
+                               mesh=mesh, point_store=point_store,
+                               fresh_thresh=fresh_thresh)
 
         def _map_fn(map_state, decoder_params, store, opt, rays_dir,
                     sel, valid, key, point_store,
@@ -260,7 +261,8 @@ class SlamSystem:
 
         use_pcd = self._use_pcd
 
-        def _insert_fn(map_state, point_store, rgb, depth, pose6, rays_dir):
+        def _insert_fn(map_state, point_store, rgb, depth, pose6, rays_dir,
+                       frame_capacity=None):
             st = point_stride
             d = depth[::st, ::st]
             dirs = rays_dir[::st, ::st]
@@ -269,7 +271,8 @@ class SlamSystem:
             R = se3.exp_rotation(pose6[3:6])
             pts_world = camera.transform_points(pts_cam, R, pose6[0:3])
             new_state = vh.insert_points(map_state, pts_world, valid,
-                                         settings.map)
+                                         settings.map,
+                                         frame_capacity=frame_capacity)
             if use_pcd:
                 from proudslam_tpu.render.pcd_features import (
                     insert_frame_points)
@@ -283,10 +286,14 @@ class SlamSystem:
             # every fetch then fails and the host voxel gauge freezes
             # (catastrophic: the bucketed render view stops growing with
             # the map). The uint32 cast guarantees a distinct buffer ("+0"
-            # would be folded and output-deduplicated back to the alias).
+            # would be folded and output-deduplicated back to the alias);
+            # the maximum() for the int32 copy likewise survives folding
+            # (XLA cannot prove num_voxels >= 0). The int32 copy feeds the
+            # freshness-threshold history (`_fresh_thresh`) with zero H2D.
             return (new_state, point_store,
                     new_state.num_voxels.astype(jnp.uint32),
-                    new_state.num_cells.astype(jnp.uint32))
+                    new_state.num_cells.astype(jnp.uint32),
+                    jnp.maximum(new_state.num_voxels, 0))
 
         # Donation: every state pytree that a step consumes-and-returns is
         # donated so XLA updates buffers in place (the keyframe store alone
@@ -328,10 +335,16 @@ class SlamSystem:
                          else jax.tree.map(lambda _: rep, self.point_store))
             self._insert_jit = jax.jit(
                 _insert_fn, donate_argnums=(0, 1),
+                static_argnames=("frame_capacity",),
                 out_shardings=(map_state_shardings(mesh, self.map_state),
-                               pstore_sh, rep, rep))
+                               pstore_sh, rep, rep, rep))
         else:
-            self._insert_jit = jax.jit(_insert_fn, donate_argnums=(0, 1))
+            self._insert_jit = jax.jit(_insert_fn, donate_argnums=(0, 1),
+                                       static_argnames=("frame_capacity",))
+        # steady-state frames use the smaller per-insert capacity (first
+        # frame / big inserts use the full one) — see MapSettings
+        self._steady_cap = (settings.map.frame_voxel_capacity_steady
+                            or None)
         self._predict = jax.jit(_predict_fn)
         self._kf_angle = jax.jit(_kf_angle_fn)
         # background-thread D2H of observability scalars (see _HostFetcher)
@@ -368,8 +381,23 @@ class SlamSystem:
         # it, so growth never stalls the frame loop.
         self._nv = 0
         self._nc = 0
+        # per-insert history of the DEVICE voxel-count scalar — drives the
+        # scale-free freshness threshold (render.fresh_window_frames): the
+        # count from N inserts ago separates "allocated in the last N
+        # frames" from settled voxels at any allocation rate. Device
+        # scalars are used directly (the insert step already returns them)
+        # — a host-created jnp scalar costs a ~2-4 ms H2D through the
+        # remote tunnel (probe_r5.py round 5).
+        self._nv_hist: deque = deque(
+            maxlen=max(settings.render.fresh_window_frames + 1, 2))
         self._nv_dev = None
         self._nc_dev = None
+        # device-resident constants for per-frame step arguments: uploading
+        # fresh jnp.int32 scalars per call measured 8.4 ms/frame through
+        # the tunnel (probe_r5.py: write 10.6 -> 2.2 ms with staged
+        # scalars). Stamps/slots are staged via these caches.
+        self._dev_i32: dict = {}
+        self._zero_i32 = None
         self._capacity_warned = False
         self._prewarmed: set = set()
         self._prewarm_lock = threading.Lock()
@@ -377,13 +405,35 @@ class SlamSystem:
 
     # ------------------------------------------------------------------
 
+    def _i32(self, v: int) -> jnp.ndarray:
+        """Cached device int32 scalar.
+
+        Per-frame ``jnp.int32(x)`` uploads cost ~2-3 ms each through the
+        remote tunnel (probe_r5.py); slots/keyframe indices draw from a
+        bounded set, so each value is uploaded exactly once. The cache also
+        holds the keyframe-store *gauge flags*: the device-side ``stamps``
+        array is consumed only as ``!= 0`` (the slot-0 pose anchor,
+        `engine/mapper.py:92`) — true integer stamps live host-side
+        (``kf_stamps``; checkpointed separately), so writes pass the cached
+        0/1 flag instead of a fresh per-frame stamp upload."""
+        s = self._dev_i32.get(v)
+        if s is None:
+            s = self._dev_i32[v] = jnp.int32(v)
+        return s
+
     def _insert(self, map_state: vh.MapState, rgb: jnp.ndarray,
-                depth: jnp.ndarray, pose6: jnp.ndarray) -> vh.MapState:
+                depth: jnp.ndarray, pose6: jnp.ndarray,
+                big: bool = False) -> vh.MapState:
         """Backproject a depth map at the (refined) pose and allocate voxels
         (reference `create_voxels_pointcloud`, `mapping.py:258-295`); with
-        the pcd branch on, also store the frame's points per voxel."""
-        new_state, self.point_store, nv_fresh, nc_fresh = self._insert_jit(
-            map_state, self.point_store, rgb, depth, pose6, self.rays_dir)
+        the pcd branch on, also store the frame's points per voxel.
+        ``big``: use the full frame capacity (first-frame seeding)."""
+        cap = None if big else self._steady_cap
+        (new_state, self.point_store, nv_fresh, nc_fresh,
+         nv_i32) = self._insert_jit(
+            map_state, self.point_store, rgb, depth, pose6, self.rays_dir,
+            frame_capacity=cap)
+        self._nv_hist.append(nv_i32)
         # the host's bucket bound / capacity warning follow the device
         # counts via periodic background fetches — any main-thread D2H
         # (even copy_to_host_async) stalls the tunnel for a ~40 ms round
@@ -503,6 +553,20 @@ class SlamSystem:
             b *= 2
         return min(b, self.settings.map.voxel_capacity)
 
+    def _fresh_thresh(self) -> jnp.ndarray:
+        """Freshness threshold for the tracker (scale-free mode): the live
+        voxel count ``fresh_window_frames`` inserts ago — slots above it
+        were allocated within the window, at whatever rate the scene
+        produces. The value is the DEVICE counter the insert step already
+        returned (zero H2D, exact, deterministic). 0 until enough history
+        exists (everything fresh — the uniform down-weight rescales the
+        loss without biasing the pose, matching the absolute-margin mode's
+        early-run behavior)."""
+        W = self.settings.render.fresh_window_frames
+        if W <= 0 or len(self._nv_hist) <= W:
+            return self._i32(0)          # statically ignored when W <= 0
+        return self._nv_hist[0]
+
     def _current_wsel(self) -> int:
         return min(self.num_kf, self.settings.mapper.window_size) + 1
 
@@ -591,7 +655,8 @@ class SlamSystem:
             if do_track:
                 self._track.lower(ms, dec, aval((6,)), rays,
                                   aval((H, W, 3)), aval((H, W)),
-                                  key, pstore).compile()
+                                  key, pstore,
+                                  aval((), jnp.int32)).compile()
             self._map.lower(ms, dec, store, opt, rays, sel, valid,
                             key, pstore).compile()
         except Exception:  # pragma: no cover — prewarm is best-effort
@@ -670,8 +735,8 @@ class SlamSystem:
         computed on device and fetched lazily (device->host transfers per
         frame are expensive through a remote-TPU tunnel)."""
         ref = max(self.num_kf - 1, 0)
-        rel = self._rel_pose(self.store.poses, jnp.int32(ref),
-                             jnp.int32(slot))
+        rel = self._rel_pose(self.store.poses, self._i32(ref),
+                             self._i32(slot))
         self.frame_poses.append((ref, rel))
 
     # ------------------------------------------------------------------
@@ -683,15 +748,18 @@ class SlamSystem:
         `tracking.py:56-66`, `mapping.py:105-121`)."""
         pose6 = se3.tangent_from_matrix(jnp.asarray(init_pose, jnp.float32))
         zeros6 = jnp.zeros((6,))
+        # device stamp = gauge flag 0: slot 0 is ALWAYS the pose anchor,
+        # even for runs whose start_frame (host stamp) is nonzero (the old
+        # code passed the raw stamp, silently un-anchoring such runs)
         self.store = self._write(
-            self.store, jnp.int32(0), jnp.asarray(rgb, jnp.float32),
-            jnp.asarray(depth, jnp.float32), jnp.int32(stamp), pose6,
-            zeros6, zeros6, jnp.zeros((), jnp.int32))
+            self.store, self._i32(0), jnp.asarray(rgb, jnp.float32),
+            jnp.asarray(depth, jnp.float32), self._i32(0), pose6,
+            zeros6, zeros6, self._i32(0))
         self.num_kf = 1
         self.kf_stamps = [stamp]
         self.map_state = self._insert(
             self.map_state, jnp.asarray(rgb, jnp.float32),
-            jnp.asarray(depth, jnp.float32), pose6)
+            jnp.asarray(depth, jnp.float32), pose6, big=True)
         # overlap the first tracked frame's compiles with the init rounds
         self._drain_nv(block=True)
         self._spawn_prewarm(
@@ -729,15 +797,16 @@ class SlamSystem:
         result: TrackResult = self._track(
             view, self.decoder_params, prior,
             self.rays_dir, rgb_d, depth_d, self._next_key(),
-            self.point_store)
+            self.point_store, self._fresh_thresh())
         # the signals needed to debug tracking live on device already;
         # keep the (tiny) scalars and fetch them in bulk at the end
         self._track_losses.append(result.loss)
         self._hit_ratios.append(result.hit_ratio)
 
         slot = min(self.num_kf, self.settings.mapper.max_keyframes - 1)
+        # device stamp = gauge flag 1 (non-anchor); true stamps are host-side
         self.store = self._write(
-            self.store, jnp.int32(slot), rgb_d, depth_d, jnp.int32(stamp),
+            self.store, self._i32(slot), rgb_d, depth_d, self._i32(1),
             result.pose, result.adam_m, result.adam_v, result.adam_t)
 
         sel, valid = self._select_window()
@@ -750,8 +819,10 @@ class SlamSystem:
         refined = self.store.poses[slot]
         self._tracked_pose6.append(result.pose)
         self._refined_pose6.append(refined)
-        self.map_state = self._insert(self.map_state, rgb_d, depth_d,
-                                      refined)
+        stride = self.settings.mapper.insert_stride
+        if stride <= 1 or stamp % stride == 0:
+            self.map_state = self._insert(self.map_state, rgb_d, depth_d,
+                                          refined)
 
         # keyframe commit rule (reference `mapping.py:136-139`), with a
         # denser early phase while the map gauge is still settling and a
@@ -779,8 +850,8 @@ class SlamSystem:
             tag = f"ang@{stamp}"
             self._fetcher.submit(
                 tag, self._kf_angle(self.store.poses,
-                                    jnp.int32(self.num_kf - 1),
-                                    jnp.int32(slot)))
+                                    self._i32(self.num_kf - 1),
+                                    self._i32(slot)))
             self._ang_pending.append((tag, self.num_kf - 1))
 
         self._append_trajectory(slot)

@@ -40,7 +40,8 @@ def track_frame(map_state: vh.MapState, decoder_params,
                 prev_pose: jnp.ndarray, rays_dir: jnp.ndarray,
                 rgb: jnp.ndarray, depth: jnp.ndarray,
                 key: jax.Array, settings: SystemSettings,
-                mesh=None, point_store=None) -> TrackResult:
+                mesh=None, point_store=None,
+                fresh_thresh: jnp.ndarray = None) -> TrackResult:
     """Track one RGB-D frame starting from the previous frame's pose.
 
     Args:
@@ -58,6 +59,8 @@ def track_frame(map_state: vh.MapState, decoder_params,
     rnd = settings.render
     n_rays = trk.n_rays
     SJ = rnd.max_samples - rnd.max_hits
+    if rnd.fresh_window_frames <= 0:
+        fresh_thresh = None      # static gate: margin/off modes ignore it
 
     map_state = map_state._replace(
         embeddings=shard_embeddings(mesh, map_state.embeddings))
@@ -80,7 +83,7 @@ def track_frame(map_state: vh.MapState, decoder_params,
     rgb_flat = rgb.reshape(-1, 3)
     depth_flat = depth.reshape(-1)
 
-    def loss_fn(pose6, dirs, gt_c, gt_d, noise):
+    def loss_fn(pose6, dirs, gt_c, gt_d, noise, precomputed=None):
         R = se3.exp_rotation(pose6[3:6])
         world_d = dirs @ R.T
         world_o = jnp.broadcast_to(pose6[0:3], world_d.shape)
@@ -90,9 +93,10 @@ def track_frame(map_state: vh.MapState, decoder_params,
             occupancy=occupancy, point_store=point_store,
             pointnet_params=(decoder_params.get("pointnet")
                              if rnd.feature_mode == "pcd" else None),
-            corner_feats=corner_feats)
+            corner_feats=corner_feats, fresh_thresh=fresh_thresh,
+            precomputed=precomputed)
         ray_w = None
-        if rnd.fresh_voxel_margin > 0:
+        if rnd.fresh_voxel_margin > 0 or rnd.fresh_window_frames > 0:
             # discount rays dominated by freshly-allocated (half-trained)
             # voxels: their biased SDF drags the pose during pans into
             # unmapped territory
@@ -104,21 +108,46 @@ def track_frame(map_state: vh.MapState, decoder_params,
         hit_ratio = jnp.mean(outputs.hit_mask.astype(jnp.float32))
         return loss, hit_ratio
 
-    def step(carry, lr):
-        pose6, m, v, t, k = carry
-        k, k_pix, k_noise = jax.random.split(k, 3)
+    # fixed-batch mode: one pixel batch per frame, intersect + stratified
+    # sampling hoisted out of the pose scan (they are ~1/3 of the
+    # iteration; the hit topology is loop-invariant at sub-mm pose steps)
+    fixed = None
+    if trk.fixed_sample_batch:
+        key, k_pix, k_noise = jax.random.split(key, 3)
         pix = sample_frame_pixels(k_pix, None, n_rays,
                                   method=rnd.pixel_sampler,
                                   num_pixels=depth_flat.shape[0])
-        dirs = dirs_flat[pix]
-        gt_c = rgb_flat[pix]
-        gt_d = depth_flat[pix]
-        noise = jax.random.uniform(k_noise, (n_rays, SJ))
-        dirs, gt_c, gt_d, noise = shard_ray_batch(
-            mesh, 0, dirs, gt_c, gt_d, noise)
+        f_dirs = dirs_flat[pix]
+        f_gt_c = rgb_flat[pix]
+        f_gt_d = depth_flat[pix]
+        f_noise = jax.random.uniform(k_noise, (n_rays, SJ))
+        f_dirs, f_gt_c, f_gt_d, f_noise = shard_ray_batch(
+            mesh, 0, f_dirs, f_gt_c, f_gt_d, f_noise)
+        from proudslam_tpu.render.renderer import intersect_and_sample
+        R0 = se3.exp_rotation(prev_pose[3:6])
+        w_d = f_dirs @ R0.T
+        w_o = jnp.broadcast_to(prev_pose[0:3], w_d.shape)
+        fixed = intersect_and_sample(w_o, w_d, map_state, rnd, f_noise,
+                                     occupancy=occupancy)
+
+    def step(carry, lr):
+        pose6, m, v, t, k = carry
+        if trk.fixed_sample_batch:
+            dirs, gt_c, gt_d, noise = f_dirs, f_gt_c, f_gt_d, f_noise
+        else:
+            k, k_pix, k_noise = jax.random.split(k, 3)
+            pix = sample_frame_pixels(k_pix, None, n_rays,
+                                      method=rnd.pixel_sampler,
+                                      num_pixels=depth_flat.shape[0])
+            dirs = dirs_flat[pix]
+            gt_c = rgb_flat[pix]
+            gt_d = depth_flat[pix]
+            noise = jax.random.uniform(k_noise, (n_rays, SJ))
+            dirs, gt_c, gt_d, noise = shard_ray_batch(
+                mesh, 0, dirs, gt_c, gt_d, noise)
 
         (loss, hit_ratio), grad = jax.value_and_grad(
-            loss_fn, has_aux=True)(pose6, dirs, gt_c, gt_d, noise)
+            loss_fn, has_aux=True)(pose6, dirs, gt_c, gt_d, noise, fixed)
 
         t = t + 1
         tf = t.astype(jnp.float32)

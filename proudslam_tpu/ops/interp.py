@@ -47,6 +47,13 @@ CORNER_BITS = _np.array(
 
 _FLOAT0 = jax.dtypes.float0
 
+# Precision of the one-hot selection einsums (f8 expansion + transposes).
+# HIGHEST (6-pass f32 on the MXU) reproduces the scatter oracle bitwise;
+# the one-hot operand is exactly representable at any precision, so
+# DEFAULT only perturbs the rb-value side at bf16 epsilon — measured
+# against end-to-end ATE before switching the default (BENCH_NOTES r5).
+EINSUM_PREC = jax.lax.Precision.HIGHEST
+
 
 def trilinear_weights(p: jnp.ndarray) -> jnp.ndarray:
     """(N, 3) fractional coords in [0,1] -> (N, 8) corner weights.
@@ -144,7 +151,7 @@ def _f8_impl(EV, vidx, bins):
     onehot = (bins[:, :, None]
               == jnp.arange(H, dtype=bins.dtype)).astype(jnp.float32)
     return jnp.einsum("rsh,rhk->rsk", onehot, rb,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=EINSUM_PREC)
 
 
 @jax.custom_vjp
@@ -172,7 +179,7 @@ def _gather_f8_bwd(res, dout):
     onehot = (bins[:, :, None]
               == jnp.arange(H, dtype=bins.dtype)).astype(jnp.float32)
     d_rb = jnp.einsum("rsh,rsk->rhk", onehot, dout,
-                      precision=jax.lax.Precision.HIGHEST)  # (R, H, K)
+                      precision=EINSUM_PREC)  # (R, H, K)
 
     # hit slots -> corner view: one wide-row scatter (invalid slots were
     # clamped to 0 but receive only zero cotangents — see renderer masks)
@@ -238,7 +245,7 @@ def gather_ray_features(sampled_xyz: jnp.ndarray,
     onehot = (sample_bins[:, :, None]
               == jnp.arange(H, dtype=sample_bins.dtype)).astype(jnp.float32)
     center = jnp.einsum("rsh,rhc->rsc", onehot, centers_rb,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=EINSUM_PREC)
 
     p = (sampled_xyz - center) / voxel_size + 0.5      # (R, S, 3)
     w = trilinear_weights(p.reshape(R * S, 3)).reshape(R, S, 8)
@@ -276,10 +283,10 @@ def gather_ray_features_onehot(sampled_xyz: jnp.ndarray,
     onehot = (jnp.minimum(sample_bins, H - 1)[:, :, None]
               == jnp.arange(H, dtype=jnp.int32)).astype(jnp.float32)
     f8 = jnp.einsum("rsh,rhk->rsk", onehot, emb_rb,
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=EINSUM_PREC)
     f8 = f8.reshape(R, S, 8, D)
     center = jnp.einsum("rsh,rhc->rsc", onehot, centers_rb,
-                        precision=jax.lax.Precision.HIGHEST)
+                        precision=EINSUM_PREC)
 
     p = (sampled_xyz - center) / voxel_size + 0.5      # (R, S, 3)
     w = trilinear_weights(p.reshape(R * S, 3)).reshape(R, S, 8)

@@ -248,8 +248,9 @@ def _ffd_bwd(settings, dec, res, d_out):
         [feats, jnp.zeros((padr, D), feats.dtype)])
     gpad = d_out if not padr else jnp.concatenate(
         [d_out, jnp.zeros((padr, 4), d_out.dtype)])
+    # bf16=True: this kernel's forward is bf16-only (see _dot above)
     outs = _run_bwd(fpad, gpad, fp,
-                    interpret=jax.default_backend() != "tpu")
+                    interpret=jax.default_backend() != "tpu", bf16=True)
     d_feats = outs[0][:rows].reshape(R, S, D)
     d_params = unpack_grads(FusedParams(*outs[1:]), dec)
 

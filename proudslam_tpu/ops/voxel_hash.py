@@ -242,7 +242,8 @@ def voxel_valid_mask(state: MapState) -> jnp.ndarray:
 
 
 def insert_points(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
-                  settings: MapSettings) -> MapState:
+                  settings: MapSettings,
+                  frame_capacity: int = None) -> MapState:
     """Insert a world-space point cloud; allocate voxels + corner cells.
 
     Replaces `Octree::insert` (`octree.cpp:104-294`): every valid point's
@@ -253,6 +254,13 @@ def insert_points(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
     Args:
       points: (N, 3) float world coordinates.
       valid:  (N,) bool.
+      frame_capacity: budget for NEW voxels this call (default: the full
+        ``settings.frame_voxel_capacity``). The touched-voxel unique
+        always runs at full capacity (a frame touches thousands of
+        existing voxels); when the budget is smaller, the NEW voxels are
+        compacted to it and the (dominant) corner-cell sort/scatter work
+        shrinks with it. New voxels beyond the budget are dropped and
+        re-allocated when re-observed (self-healing, ~1-frame delay).
     """
     F = settings.frame_voxel_capacity
     C = state.cell_keys.shape[0]
@@ -265,6 +273,16 @@ def insert_points(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
     # unique voxels touched this frame (sorted ascending, SENTINEL pad)
     frame_keys = jnp.unique(keys, size=F, fill_value=SENTINEL)
     frame_valid = frame_keys != SENTINEL
+
+    if frame_capacity and frame_capacity < F:
+        # steady-state: keep only NEW voxels, compacted to the small
+        # budget — every downstream sort/unique/scatter shrinks to it
+        slot0 = lookup_voxel_slots(state, frame_keys)
+        sel = jnp.where(frame_valid & (slot0 < 0), frame_keys, SENTINEL)
+        order0 = jnp.argsort(sel)[:frame_capacity]
+        frame_keys = sel[order0]           # sorted (SENTINEL sorts last)
+        frame_valid = frame_keys != SENTINEL
+        F = frame_capacity
 
     # 8 corner cells of every frame voxel
     fcoords = unpack_key(frame_keys, bits)                       # (F, 3)
@@ -300,12 +318,18 @@ def insert_points(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
     pos_b = jnp.arange(M, dtype=jnp.int32) + jnp.searchsorted(
         state.cell_keys, new_keys_sorted, side="right").astype(jnp.int32)
     total = C + M
-    cell_keys = jnp.zeros((total,), jnp.int32).at[pos_a].set(
-        state.cell_keys).at[pos_b].set(new_keys_sorted)[:C]
-    cell_ids = jnp.zeros((total,), jnp.int32).at[pos_a].set(
-        state.cell_ids).at[pos_b].set(new_ids_sorted)[:C]
-    cell_vslot = jnp.full((total,), -1, jnp.int32).at[pos_a].set(
-        state.cell_vslot)[:C]
+    # TPU scatters have a ~2-5 ms per-CALL floor at these sizes, so the
+    # three parallel cell arrays merge through TWO multi-column row
+    # scatters instead of six scalar ones (insert measured 26 -> ~14 ms,
+    # probe_r5/BENCH_NOTES r5). Every merged position is written (the
+    # merge is a permutation of 0..total), so the zeros init is dead.
+    rows_a = jnp.stack([state.cell_keys, state.cell_ids,
+                        state.cell_vslot], axis=1)               # (C, 3)
+    rows_b = jnp.stack([new_keys_sorted, new_ids_sorted,
+                        jnp.full((M,), -1, jnp.int32)], axis=1)  # (M, 3)
+    merged = jnp.zeros((total, 3), jnp.int32).at[pos_a].set(
+        rows_a).at[pos_b].set(rows_b)[:C]
+    cell_keys, cell_ids, cell_vslot = merged[:, 0], merged[:, 1], merged[:, 2]
     num_cells = jnp.minimum(
         state.num_cells + jnp.sum(fits.astype(jnp.int32)), C).astype(jnp.int32)
 
@@ -321,13 +345,16 @@ def insert_points(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
     vfits = is_new_voxel & (new_slots < V)
     slot_for = jnp.where(vfits, new_slots, V)  # V == dropped (OOB-safe w/ mode)
 
-    voxel_keys = state.voxel_keys.at[slot_for].set(
-        frame_keys, mode="drop")
-
-    # corner embedding ids (all corners of a kept voxel exist now)
+    # corner embedding ids (all corners of a kept voxel exist now);
+    # keys + vertex ids land in ONE 9-column row scatter (per-call floor)
     _, corner_ids = lookup_cells(state, corner_keys)             # (F, 8)
-    voxel_vertex_ids = state.voxel_vertex_ids.at[slot_for].set(
-        jnp.maximum(corner_ids, 0), mode="drop")
+    vtable = jnp.concatenate(
+        [state.voxel_keys[:, None], state.voxel_vertex_ids], axis=1)
+    vrows = jnp.concatenate(
+        [frame_keys[:, None], jnp.maximum(corner_ids, 0)], axis=1)
+    vtable = vtable.at[slot_for].set(vrows, mode="drop")
+    voxel_keys = vtable[:, 0]
+    voxel_vertex_ids = vtable[:, 1:]
 
     num_voxels = jnp.minimum(
         state.num_voxels + jnp.sum(vfits.astype(jnp.int32)), V).astype(jnp.int32)

@@ -64,6 +64,46 @@ def sdf_to_weights(sdf: jnp.ndarray, z_vals: jnp.ndarray,
     return w, z_min[:, 0]
 
 
+def _fresh_fraction(hit_voxel_idx, num_voxels, settings, fresh_thresh):
+    """Per-ray fraction of hit slots in freshly-allocated voxels.
+
+    ``fresh_thresh`` (traced scalar: the live voxel count N frames ago,
+    see RenderSettings.fresh_window_frames) takes precedence; else the
+    static ``fresh_voxel_margin`` below the current count; else zeros.
+    """
+    hit_valid = hit_voxel_idx >= 0
+    if fresh_thresh is not None:
+        thresh = fresh_thresh
+    elif settings.fresh_voxel_margin > 0:
+        thresh = num_voxels - settings.fresh_voxel_margin
+    else:
+        return jnp.zeros(hit_voxel_idx.shape[:1], jnp.float32)
+    fresh = hit_valid & (hit_voxel_idx >= thresh)
+    return (jnp.sum(fresh, axis=-1).astype(jnp.float32)
+            / jnp.maximum(jnp.sum(hit_valid, axis=-1), 1))
+
+
+def intersect_and_sample(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                         map_state, settings: RenderSettings,
+                         noise: jnp.ndarray, occupancy: jnp.ndarray = None):
+    """Intersect + stratified-sample a ray batch (the first two render
+    stages) — for callers that freeze the ray batch across an optimizer
+    scan and pass the result to ``render_rays(precomputed=...)``."""
+    from proudslam_tpu.ops.voxel_hash import unpack_key
+
+    if settings.intersect_mode == "dda":
+        inter = ray_intersect_dda(rays_o, rays_d, map_state.voxel_keys,
+                                  map_state.num_voxels, settings,
+                                  occupancy=occupancy)
+    else:
+        V = map_state.voxel_keys.shape[0]
+        centers = (unpack_key(map_state.voxel_keys).astype(jnp.float32)
+                   + 0.5) * settings.voxel_size
+        voxel_valid = jnp.arange(V, dtype=jnp.int32) < map_state.num_voxels
+        inter = ray_intersect(rays_o, rays_d, centers, voxel_valid, settings)
+    return inter, sample_rays_in_segments(inter, settings, noise)
+
+
 def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                 map_state, embeddings: jnp.ndarray,
                 decoder_params, decoder_settings: DecoderSettings,
@@ -71,6 +111,8 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                 occupancy: jnp.ndarray = None,
                 point_store=None, pointnet_params=None,
                 corner_feats: jnp.ndarray = None,
+                fresh_thresh: jnp.ndarray = None,
+                precomputed=None,
                 ) -> RenderOutputs:
     """Render a batch of rays against the current map.
 
@@ -93,17 +135,28 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     """
     from proudslam_tpu.ops.voxel_hash import unpack_key
 
-    if settings.intersect_mode == "dda":
+    if precomputed is not None:
+        # (inter, samples) computed ONCE per optimization round and
+        # reused across the Adam iterations: per-iteration pose updates
+        # are sub-mm against 0.2 m voxels, so the hit topology and sample
+        # depths are effectively loop-invariant, while the intersect +
+        # sample stages are ~1/3 of the iteration cost (probe_phases2,
+        # BENCH_NOTES r5). Sample positions still move with the CURRENT
+        # pose below (xyz = o + d·z, z stop-grad) — exactly the gradient
+        # path the reference uses (`render_helpers.py:436-441`).
+        inter, samples = precomputed
+    elif settings.intersect_mode == "dda":
         inter = ray_intersect_dda(rays_o, rays_d, map_state.voxel_keys,
                                   map_state.num_voxels, settings,
                                   occupancy=occupancy)
+        samples = sample_rays_in_segments(inter, settings, noise)
     else:
         V = map_state.voxel_keys.shape[0]
         centers = (unpack_key(map_state.voxel_keys).astype(jnp.float32)
                    + 0.5) * settings.voxel_size
         voxel_valid = jnp.arange(V, dtype=jnp.int32) < map_state.num_voxels
         inter = ray_intersect(rays_o, rays_d, centers, voxel_valid, settings)
-    samples: RaySamples = sample_rays_in_segments(inter, settings, noise)
+        samples = sample_rays_in_segments(inter, settings, noise)
 
     # depths / indices are non-differentiable w.r.t. pose (reference
     # marks them non-diff, voxel_helpers.py:364-366)
@@ -140,14 +193,8 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                                         settings.truncation)
         rgb = jnp.sum(weights[..., None] * color, axis=-2)
         depth = jnp.sum(weights * jnp.where(valid, z_vals, 0.0), axis=-1)
-        hit_valid = inter.voxel_idx >= 0
-        if settings.fresh_voxel_margin > 0:
-            thresh = map_state.num_voxels - settings.fresh_voxel_margin
-            fresh = hit_valid & (inter.voxel_idx >= thresh)
-            fresh_frac = (jnp.sum(fresh, axis=-1).astype(jnp.float32)
-                          / jnp.maximum(jnp.sum(hit_valid, axis=-1), 1))
-        else:
-            fresh_frac = jnp.zeros(z_vals.shape[:1], jnp.float32)
+        fresh_frac = _fresh_fraction(inter.voxel_idx, map_state.num_voxels,
+                                     settings, fresh_thresh)
         return RenderOutputs(
             color=rgb, depth=depth, sdf=sdf, z_vals=z_vals,
             weights=weights, sample_mask=valid, hit_mask=inter.hit_mask,
@@ -190,19 +237,12 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
     depth = jnp.sum(weights * jnp.where(valid, z_vals, 0.0), axis=-1)
 
     # voxel slots are allocated in insertion order, so slot index is a free
-    # age signal: slots within `fresh_voxel_margin` of the live count were
-    # allocated recently and their SDF is still half-trained. The tracker
-    # down-weights rays dominated by such voxels (pose bias from
+    # age signal: recently-allocated slots hold half-trained SDF. The
+    # tracker down-weights rays dominated by such voxels (pose bias from
     # unconverged geometry is the main drift source during pans into
     # unmapped territory — BENCH_NOTES r4).
-    hit_valid = inter.voxel_idx >= 0
-    if settings.fresh_voxel_margin > 0:
-        thresh = map_state.num_voxels - settings.fresh_voxel_margin
-        fresh = hit_valid & (inter.voxel_idx >= thresh)
-        fresh_frac = (jnp.sum(fresh, axis=-1).astype(jnp.float32)
-                      / jnp.maximum(jnp.sum(hit_valid, axis=-1), 1))
-    else:
-        fresh_frac = jnp.zeros(z_vals.shape[:1], jnp.float32)
+    fresh_frac = _fresh_fraction(inter.voxel_idx, map_state.num_voxels,
+                                 settings, fresh_thresh)
 
     return RenderOutputs(
         color=rgb, depth=depth, sdf=sdf, z_vals=z_vals, weights=weights,

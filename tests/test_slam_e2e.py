@@ -112,3 +112,45 @@ def test_slam_end_to_end(dataset):
     dist_raw, _ = tree.query(mesh.verts)
     if (dist_raw > radius).any():
         assert len(clean.faces) < len(mesh.faces)
+
+
+def test_global_refine_and_rebake(dataset):
+    """Pose-updating global BA + map re-bake after a short run.
+
+    Regression for ADVICE r4 #1: with num_kf <= window_size the old window
+    clamp went negative and the sweep silently no-oped — rebake_map had
+    already reset the embeddings, destroying the trained map. Now windows
+    cover slots 0..num_kf and both passes must leave (or improve) the
+    trajectory and a reconstructable map.
+    """
+    s = small_settings()
+    slam = SlamSystem(s, dataset.intrinsics, (dataset.height, dataset.width),
+                      seed=1)
+    _, rgb, depth, _, pose0 = dataset[0]
+    slam.initialize(rgb, depth, pose0, stamp=0)
+    for i in range(1, 11):
+        _, rgb, depth, _, _ = dataset[i]
+        slam.process_frame(i, rgb, depth)
+    assert 2 <= slam.num_kf <= s.mapper.window_size  # the buggy regime
+
+    gt = np.stack(dataset.poses)[:11]
+    ate0 = ate_rmse(slam.get_trajectory(), gt, align=False)
+    poses_before = np.asarray(slam.store.poses)
+
+    slam.global_refine(rounds=1)
+    poses_after = np.asarray(slam.store.poses)
+    # the sweep must actually run: non-anchor keyframe poses move
+    assert not np.allclose(poses_before[1:slam.num_kf + 1],
+                           poses_after[1:slam.num_kf + 1])
+    ate1 = ate_rmse(slam.get_trajectory(), gt, align=False)
+    assert ate1 < max(1.5 * ate0, 0.05), f"refine hurt: {ate0}->{ate1}"
+
+    # rebake must retrain (not destroy) the map: the decoded surface stays
+    # accurate after embeddings were reset and re-optimized
+    slam.rebake_map(iterations=30)
+    from proudslam_tpu.mesher import extract_mesh
+    mesh = extract_mesh(slam.map_state, slam.decoder_params, s.map,
+                        s.decoder, res=6, require_color=False)
+    assert len(mesh.verts) > 200
+    d = np.abs(dataset.scene.sdf(mesh.verts.astype(np.float64)))
+    assert np.median(d) < 0.08, f"median surface dist {np.median(d):.3f}"

@@ -133,3 +133,34 @@ def test_lookup_cells():
         state, vh.pack_coords(jnp.array([[0, 0, 0], [5, 5, 5]])))
     assert bool(found[0]) and not bool(found[1])
     assert int(ids[1]) == -1
+
+
+def test_insert_steady_capacity_self_heals():
+    """Steady-state inserts with a small NEW-voxel budget: overflow is
+    dropped but re-allocated on the next (re-)observation; existing
+    voxels never consume budget."""
+    import jax.numpy as jnp
+    from proudslam_tpu.config import MapSettings
+    from proudslam_tpu.ops import voxel_hash as vh
+
+    s = MapSettings(voxel_size=0.2, num_embeddings=4096, embed_dim=4,
+                    voxel_capacity=1024, frame_voxel_capacity=512)
+    state = vh.init_map_state(s, jax.random.PRNGKey(0))
+    # 40 distinct voxels; budget of 16 new per call
+    import numpy as np
+    coords = np.stack(np.meshgrid(np.arange(8), np.arange(5)),
+                      -1).reshape(-1, 2)
+    pts = np.concatenate([coords * 0.2 + 0.1,
+                          np.full((40, 1), 0.3)], axis=1)
+    pts_j = jnp.asarray(pts, jnp.float32)
+    ones = jnp.ones((40,), bool)
+    for i in range(4):
+        state = vh.insert_points(state, pts_j, ones, s, frame_capacity=16)
+        n = int(state.num_voxels)
+        assert n == min(16 * (i + 1), 40), (i, n)
+    # all allocated despite the per-call budget; vertex ids assigned
+    assert int(state.num_voxels) == 40
+    vids = np.asarray(state.voxel_vertex_ids[:40])
+    assert (vids >= 0).all()
+    # shared corners dedup to < 40*8 cells
+    assert int(state.num_cells) < 320
