@@ -292,6 +292,30 @@ class MapperSettings:
     # .fixed_sample_batch): one pixel batch per window frame per round,
     # intersect+sample hoisted out of the 10-iteration BA scan
     fixed_sample_batch: bool = False
+    # number of leading keyframes whose poses stay FROZEN (gauge
+    # anchors). The reference anchors only the first frame
+    # (`render_helpers.py:594-596`); with one anchor the gauge can bend
+    # slowly around it (rotation drift of the whole map+trajectory).
+    # Early keyframes are the most accurately tracked (seconds from
+    # init), so pinning the first few is near-free and resists bending.
+    # (Measured: >1 HURT on the bench — frozen slightly-wrong poses
+    # poison the map; BENCH_NOTES r5.)
+    anchor_keyframes: int = 1
+    # always include keyframe 0 (the frozen gauge anchor) in the BA
+    # window, alongside the always-included latest keyframe: every BA
+    # round then re-asserts the anchor's sector of the map, so drifted
+    # revisit keyframes are pulled toward the anchor-consistent map
+    # instead of bending it (the observed failure mode: one rigid gauge
+    # shift mid-run, ~1.3 cm aligned vs 2-5 cm unaligned ATE).
+    window_include_anchor: bool = False
+    # covisibility-weighted BA window selection: sample committed
+    # keyframes with probability ~ exp(-view_angle / covis_angle_deg)
+    # to the current frame instead of uniformly. Revisit-heavy scans then
+    # regularly co-optimize the current pose against keyframes that SAW
+    # the same sector long ago — the loop-closure pressure the
+    # reference's uniform-random rule (`mapping.py:220-234`) lacks, and
+    # the main counter to slow gauge drift. 0 = uniform (reference).
+    covis_angle_deg: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

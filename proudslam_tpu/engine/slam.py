@@ -144,6 +144,13 @@ class SlamSystem:
                     settings.decoder, use_fused_mlp=False))
         self.mesh = mesh
         self.settings = settings
+        # the render stack's packed-key unpacking (ops/interp.py,
+        # ops/intersect.py, the fused Pallas render kernel) uses the
+        # 10-bit default; a different coord_bits would silently compute
+        # wrong voxel centers there (ADVICE r4 #2) — fail loudly instead
+        assert settings.map.coord_bits == 10, (
+            "render stack assumes coord_bits == 10; got "
+            f"{settings.map.coord_bits}")
         self.height, self.width = image_hw
         fx, fy, cx, cy = intrinsics
         self.rays_dir = camera.pixel_ray_directions(
@@ -251,6 +258,15 @@ class SlamSystem:
             c = (jnp.trace(Ra.T @ Rb) - 1.0) * 0.5
             return jnp.degrees(jnp.arccos(jnp.clip(c, -1.0, 1.0)))
 
+        def _covis_fn(poses, slot):
+            """(K,) rotation angle (deg) of every keyframe-store pose to
+            the pose at ``slot`` — the covisibility proxy for window
+            selection (view direction dominates overlap on room scans)."""
+            R = jax.vmap(se3.exp_rotation)(poses[:, 3:6])   # (K, 3, 3)
+            Rb = se3.exp_rotation(poses[slot, 3:6])
+            c = (jnp.einsum("kij,ij->k", R, Rb) - 1.0) * 0.5
+            return jnp.degrees(jnp.arccos(jnp.clip(c, -1.0, 1.0)))
+
         def _predict_fn(last6, prev6):
             """Constant-velocity pose prediction:
             M_pred = M_last @ (M_prev^-1 @ M_last)."""
@@ -347,6 +363,9 @@ class SlamSystem:
                             or None)
         self._predict = jax.jit(_predict_fn)
         self._kf_angle = jax.jit(_kf_angle_fn)
+        self._covis = jax.jit(_covis_fn)
+        self._covis_host: Optional[np.ndarray] = None  # lagged (K,) angles
+        self._covis_pending: deque = deque()
         # background-thread D2H of observability scalars (see _HostFetcher)
         self._fetcher = _HostFetcher()
         self._last_angle = 0.0
@@ -522,8 +541,11 @@ class SlamSystem:
     # are NEVER truncated by staleness — losing even ~100 frontier voxels
     # during a pan into unmapped territory collapses the tracker's hit
     # ratio (measured 0.87 -> 0.19 and ATE 2.9 -> 9.8 cm from a 3-frame
-    # -stale count crossing a bucket boundary).
-    _NV_MARGIN = 512
+    # -stale count crossing a bucket boundary). 256 = ~3x the actual
+    # staleness (lag 3 x ~30 voxels/frame); the old 512 pushed the bench
+    # run over the 8192 bucket for its last ~25 frames, paying a
+    # trace+compile stall for nothing (BENCH_NOTES r5).
+    _NV_MARGIN = 256
 
     def _render_view(self) -> vh.MapState:
         """Voxel-table view sliced to the current power-of-2 bucket.
@@ -548,7 +570,12 @@ class SlamSystem:
             return self.settings.map.voxel_capacity
         if self.mesh is not None and self.mesh.shape.get("mp", 1) > 1:
             return self.settings.map.voxel_capacity
-        b = 1024
+        # floor at 8192: each bucket transition stalls the frame loop for
+        # a main-thread re-trace (compiles hit the persistent cache, the
+        # trace does not — several seconds each for track+map+insert).
+        # Below 8k voxels the brute intersect saving (~1.5 ms/iteration)
+        # never repays those stalls over a run (BENCH_NOTES r5).
+        b = min(8192, self.settings.map.voxel_capacity)
         while b < nv:
             b *= 2
         return min(b, self.settings.map.voxel_capacity)
@@ -568,7 +595,9 @@ class SlamSystem:
         return self._nv_hist[0]
 
     def _current_wsel(self) -> int:
-        return min(self.num_kf, self.settings.mapper.window_size) + 1
+        # production map shape: always window_size+1 (padded, see
+        # _select_window)
+        return self.settings.mapper.window_size + 1
 
     def _maybe_prewarm(self):
         """Compile the next bucket's track/map executables in the background
@@ -581,17 +610,9 @@ class SlamSystem:
                             do_track=True)
 
     def _maybe_prewarm_window(self, stamp: int):
-        """Ahead of a predictable keyframe commit (the stamp-gap rule),
-        compile the grown window's map executable in the background."""
-        w = self.settings.mapper.window_size
-        if self.num_kf > w:           # window size already saturated
-            return
-        gap = self.settings.mapper.keyframe_gap
-        margin = max(2, gap // 4)
-        if stamp - self.kf_stamps[self.num_kf - 1] < gap - margin:
-            return
-        self._spawn_prewarm(self._bucket_for(self._nv + self._NV_MARGIN),
-                            self._current_wsel() + 1, do_track=False)
+        """The production window shape is fixed (padded, _select_window),
+        so there is nothing to prewarm per keyframe commit anymore."""
+        return
 
     def _spawn_prewarm(self, bucket: int, wsel: int, do_track: bool):
         if self.mesh is not None:
@@ -703,13 +724,13 @@ class SlamSystem:
         """Random keyframe window + provisional slot (reference
         `select_optimize_targets`, `mapping.py:220-234`).
 
-        The window is NOT padded to window_size: early in a run there are
-        fewer committed keyframes than the window, and padded slots would
-        render (and backprop through) full dummy ray batches — 60% of the
-        mapping step's compute before the first commits. map_step is
-        generic over the slot count, so each live count compiles its own
-        (small number of) executables; `_maybe_prewarm_window` compiles the
-        next size in the background ahead of each keyframe commit.
+        The window is PADDED to window_size so map_step compiles exactly
+        one production shape: early-run padded slots render dummy (zero-
+        hit, zero-loss) ray batches for the ~60 frames before the window
+        saturates, which costs ~4 s of extra compute but avoids a several-
+        second main-thread re-trace per window growth (round 3 made the
+        opposite call when traces were cheaper than compute; the r5 fast
+        path flipped the balance — BENCH_NOTES r5).
 
         The latest committed keyframe is always included: it is the one
         covisible with the current frame, anchoring the map frontier where
@@ -723,12 +744,32 @@ class SlamSystem:
             window = committed
         else:
             last = self.num_kf - 1
-            rest = self.rng.choice(committed[:-1], size=w - 1, replace=False)
-            window = sorted(set(list(rest) + [last]))
+            fixed = [last]
+            pool = committed[:-1]
+            if self.settings.mapper.window_include_anchor:
+                fixed = [0, last]
+                pool = committed[1:-1]
+            n_rand = w - len(fixed)
+            ang = self.settings.mapper.covis_angle_deg
+            cv = self._covis_host
+            if ang > 0 and cv is not None and len(cv) >= last:
+                # covisibility-weighted: keyframes looking the same way as
+                # the current frame enter the window preferentially — the
+                # loop-closure pressure uniform selection lacks
+                weights = np.exp(
+                    -np.asarray(cv, np.float64)[pool] / ang)
+                weights /= weights.sum()
+                rest = self.rng.choice(pool, size=n_rand,
+                                       replace=False, p=weights)
+            else:
+                rest = self.rng.choice(pool, size=n_rand, replace=False)
+            window = sorted(set(list(rest) + fixed))
         slot = min(self.num_kf, self.settings.mapper.max_keyframes - 1)
-        sel = window + [slot]                 # provisional slot last
+        pad = w - len(window)
+        sel = window + [0] * pad + [slot]     # provisional slot last
+        valid = [True] * len(window) + [False] * pad + [True]
         return (jnp.asarray(sel, dtype=jnp.int32),
-                jnp.ones((len(sel),), dtype=bool))
+                jnp.asarray(valid, dtype=bool))
 
     def _append_trajectory(self, slot: int):
         """Record (ref keyframe, relative pose) — the relative transform is
@@ -765,8 +806,11 @@ class SlamSystem:
         self._spawn_prewarm(
             self._bucket_for(self._nv + self._NV_MARGIN), 2, do_track=True)
 
-        sel = jnp.zeros((1,), jnp.int32)
-        valid = jnp.ones((1,), dtype=bool)
+        # padded to the production window shape so the init rounds compile
+        # (and warm) the same map executable the frame loop uses
+        wsel = self._current_wsel()
+        sel = jnp.zeros((wsel,), jnp.int32)
+        valid = jnp.zeros((wsel,), dtype=bool).at[0].set(True)
         n_rounds = max(
             1, self.settings.mapper.init_iterations
             // self.settings.mapper.num_iterations)
@@ -804,10 +848,26 @@ class SlamSystem:
         self._hit_ratios.append(result.hit_ratio)
 
         slot = min(self.num_kf, self.settings.mapper.max_keyframes - 1)
-        # device stamp = gauge flag 1 (non-anchor); true stamps are host-side
+        # device stamp = gauge flag (0 freezes the pose in BA); the first
+        # anchor_keyframes slots stay anchored. True stamps are host-side.
+        flag = 0 if slot < self.settings.mapper.anchor_keyframes else 1
         self.store = self._write(
-            self.store, self._i32(slot), rgb_d, depth_d, self._i32(1),
+            self.store, self._i32(slot), rgb_d, depth_d, self._i32(flag),
             result.pose, result.adam_m, result.adam_v, result.adam_t)
+
+        if self.settings.mapper.covis_angle_deg > 0:
+            # keyframe covisibility angles: submitted every frame,
+            # consumed at a fixed 2-frame lag (deterministic, off the
+            # dispatch thread — same pattern as the rotation trigger)
+            tag = f"covis@{stamp}"
+            self._fetcher.submit(
+                tag, self._covis(self.store.poses, self._i32(slot)))
+            self._covis_pending.append(tag)
+            while len(self._covis_pending) > 2:
+                t_ = self._covis_pending.popleft()
+                val = self._fetcher.wait(t_)
+                if val is not FETCH_FAILED:
+                    self._covis_host = val
 
         sel, valid = self._select_window()
         res = self._map(view, self.decoder_params, self.store,
@@ -907,7 +967,7 @@ class SlamSystem:
                             update_pose=False, update_decoder=False)
             self._merge_map_result(res)
 
-    def global_refine(self, rounds: int = 2):
+    def global_refine(self, rounds: int = 2, anchored: bool = False):
         """Pose-updating global bundle adjustment over ALL keyframes.
 
         The reference's final refinement freezes poses and refines the map
@@ -928,18 +988,29 @@ class SlamSystem:
                  self.settings.mapper.window_size + 1)
         if self.num_kf < 2 or w0 < 2:
             return
-        stride = max(w0 - 1, 1)   # consecutive windows overlap by one
+        # anchored: every window leads with slot 0 (the frozen gauge
+        # anchor) followed by w0-1 consecutive keyframes — each sweep
+        # window then couples directly to the anchored map sector instead
+        # of propagating the gauge correction O(N) hops through
+        # overlapping windows
+        width = w0 - 1 if anchored else w0
+        stride = max(width - 1, 1)   # consecutive windows overlap by one
         for _ in range(rounds):
-            for start in range(0, self.num_kf, stride):
+            for start in range(1 if anchored else 0, self.num_kf, stride):
                 # windows cover slots 0..num_kf inclusive — the provisional
                 # slot (num_kf) holds the last tracked frame, matching the
                 # online BA window (ADVICE r4 #1: the old `num_kf - w0`
                 # clamp went negative for num_kf <= window_size and the
                 # sweep silently no-oped)
-                start = min(start, self.num_kf + 1 - w0)
-                if start < 0:
+                start = min(start, self.num_kf + 1 - width)
+                if start < (1 if anchored else 0):
                     break
-                sel = jnp.arange(start, start + w0, dtype=jnp.int32)
+                run = jnp.arange(start, start + width, dtype=jnp.int32)
+                if anchored:
+                    sel = jnp.concatenate(
+                        [jnp.zeros((1,), jnp.int32), run])
+                else:
+                    sel = run
                 valid = jnp.ones((w0,), dtype=bool)
                 res = self._map(self._render_view(), self.decoder_params,
                                 self.store, self.opt, self.rays_dir, sel,

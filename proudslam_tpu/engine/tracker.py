@@ -83,7 +83,8 @@ def track_frame(map_state: vh.MapState, decoder_params,
     rgb_flat = rgb.reshape(-1, 3)
     depth_flat = depth.reshape(-1)
 
-    def loss_fn(pose6, dirs, gt_c, gt_d, noise, precomputed=None):
+    def loss_fn(pose6, dirs, gt_c, gt_d, noise, precomputed=None,
+                f8_center=None):
         R = se3.exp_rotation(pose6[3:6])
         world_d = dirs @ R.T
         world_o = jnp.broadcast_to(pose6[0:3], world_d.shape)
@@ -94,7 +95,7 @@ def track_frame(map_state: vh.MapState, decoder_params,
             pointnet_params=(decoder_params.get("pointnet")
                              if rnd.feature_mode == "pcd" else None),
             corner_feats=corner_feats, fresh_thresh=fresh_thresh,
-            precomputed=precomputed)
+            precomputed=precomputed, f8_center=f8_center)
         ray_w = None
         if rnd.fresh_voxel_margin > 0 or rnd.fresh_window_frames > 0:
             # discount rays dominated by freshly-allocated (half-trained)
@@ -112,6 +113,7 @@ def track_frame(map_state: vh.MapState, decoder_params,
     # sampling hoisted out of the pose scan (they are ~1/3 of the
     # iteration; the hit topology is loop-invariant at sub-mm pose steps)
     fixed = None
+    f8c = None
     if trk.fixed_sample_batch:
         key, k_pix, k_noise = jax.random.split(key, 3)
         pix = sample_frame_pixels(k_pix, None, n_rays,
@@ -129,6 +131,20 @@ def track_frame(map_state: vh.MapState, decoder_params,
         w_o = jnp.broadcast_to(prev_pose[0:3], w_d.shape)
         fixed = intersect_and_sample(w_o, w_d, map_state, rnd, f_noise,
                                      occupancy=occupancy)
+        if corner_feats is not None:
+            # embeddings frozen + batch fixed: the per-sample corner
+            # features AND voxel centers are loop-invariant too — only
+            # the pose-dependent trilinear weights remain in the scan
+            from proudslam_tpu.ops.interp import precompute_f8
+            inter0, samples0 = fixed
+            vidx0 = jnp.maximum(inter0.voxel_idx, 0)
+            valid0 = samples0.voxel_idx >= 0
+            bins0 = jnp.where(valid0, samples0.bin,
+                              jnp.int32(inter0.voxel_idx.shape[1]))
+            f8c = precompute_f8(corner_feats, vidx0, bins0,
+                                map_state.voxel_keys, rnd.voxel_size)
+        else:
+            f8c = None
 
     def step(carry, lr):
         pose6, m, v, t, k = carry
@@ -147,7 +163,8 @@ def track_frame(map_state: vh.MapState, decoder_params,
                 mesh, 0, dirs, gt_c, gt_d, noise)
 
         (loss, hit_ratio), grad = jax.value_and_grad(
-            loss_fn, has_aux=True)(pose6, dirs, gt_c, gt_d, noise, fixed)
+            loss_fn, has_aux=True)(pose6, dirs, gt_c, gt_d, noise, fixed,
+                                   f8c)
 
         t = t + 1
         tf = t.astype(jnp.float32)

@@ -193,6 +193,30 @@ def _gather_f8_bwd(res, dout):
 _gather_f8.defvjp(_gather_f8_fwd, _gather_f8_bwd)
 
 
+def precompute_f8(EV: jnp.ndarray, vidx: jnp.ndarray,
+                  sample_bins: jnp.ndarray, voxel_keys: jnp.ndarray,
+                  voxel_size: float):
+    """Precompute the per-sample corner features + voxel centers for a
+    FROZEN (embeddings, ray batch) pair — loop-invariant across a
+    tracking scan (embeddings frozen, fixed sample batch), where only the
+    trilinear weights (pose-dependent) change per iteration. Returns
+    (f8 (R,S,8,D), center (R,S,3)) for `gather_ray_features(f8_center=)`.
+    """
+    from proudslam_tpu.ops.voxel_hash import unpack_key
+
+    R, H = vidx.shape
+    S = sample_bins.shape[1]
+    D = EV.shape[1] // 8
+    f8 = _gather_f8(EV, vidx, sample_bins).reshape(R, S, 8, D)
+    keys_rb = voxel_keys[vidx]
+    centers_rb = (unpack_key(keys_rb).astype(jnp.float32) + 0.5) * voxel_size
+    onehot = (sample_bins[:, :, None]
+              == jnp.arange(H, dtype=sample_bins.dtype)).astype(jnp.float32)
+    center = jnp.einsum("rsh,rhc->rsc", onehot, centers_rb,
+                        precision=EINSUM_PREC)
+    return f8, center
+
+
 def gather_ray_features(sampled_xyz: jnp.ndarray,
                         sample_bins: jnp.ndarray,
                         hit_voxel_idx: jnp.ndarray,
@@ -201,7 +225,8 @@ def gather_ray_features(sampled_xyz: jnp.ndarray,
                         embeddings: jnp.ndarray,
                         voxel_size: float,
                         inv_map: jnp.ndarray = None,
-                        EV: jnp.ndarray = None) -> jnp.ndarray:
+                        EV: jnp.ndarray = None,
+                        f8_center=None) -> jnp.ndarray:
     """Ray-structured variant of :func:`gather_voxel_features`.
 
     Exploits the render topology: a ray's samples reference at most H
@@ -233,19 +258,26 @@ def gather_ray_features(sampled_xyz: jnp.ndarray,
 
     R, S, _ = sampled_xyz.shape
     H = hit_voxel_idx.shape[1]
-    D = embeddings.shape[1]
     vidx = jnp.maximum(hit_voxel_idx, 0)               # (R, H)
 
-    if EV is None:
-        EV = corner_view(embeddings, voxel_vertex_ids, inv_map)
-    f8 = _gather_f8(EV, vidx, sample_bins).reshape(R, S, 8, D)
+    if f8_center is not None:
+        # hoisted by the caller (frozen embeddings + fixed batch): only
+        # the pose-dependent trilinear weights remain per iteration
+        f8, center = f8_center
+    else:
+        if EV is None:
+            EV = corner_view(embeddings, voxel_vertex_ids, inv_map)
+        D = embeddings.shape[1]
+        f8 = _gather_f8(EV, vidx, sample_bins).reshape(R, S, 8, D)
 
-    keys_rb = voxel_keys[vidx]                         # (R, H) int32
-    centers_rb = (unpack_key(keys_rb).astype(jnp.float32) + 0.5) * voxel_size
-    onehot = (sample_bins[:, :, None]
-              == jnp.arange(H, dtype=sample_bins.dtype)).astype(jnp.float32)
-    center = jnp.einsum("rsh,rhc->rsc", onehot, centers_rb,
-                        precision=EINSUM_PREC)
+        keys_rb = voxel_keys[vidx]                     # (R, H) int32
+        centers_rb = (unpack_key(keys_rb).astype(jnp.float32)
+                      + 0.5) * voxel_size
+        onehot = (sample_bins[:, :, None]
+                  == jnp.arange(H, dtype=sample_bins.dtype)
+                  ).astype(jnp.float32)
+        center = jnp.einsum("rsh,rhc->rsc", onehot, centers_rb,
+                            precision=EINSUM_PREC)
 
     p = (sampled_xyz - center) / voxel_size + 0.5      # (R, S, 3)
     w = trilinear_weights(p.reshape(R * S, 3)).reshape(R, S, 8)

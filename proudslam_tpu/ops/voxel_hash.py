@@ -374,6 +374,13 @@ def insert_points(state: MapState, points: jnp.ndarray, valid: jnp.ndarray,
     # adjacent voxels, so the 8 slots never overflow. Per-row slot
     # assignment = current occupancy + rank among this batch's duplicates
     # (sorted-run rank via searchsorted on the sorted candidate ids).
+    # Known divergence AT CELL CAPACITY (ADVICE r4 #4): corners whose cell
+    # failed to allocate are clamped to embedding row 0 in the forward
+    # (voxel_vertex_ids above) but get no inv_map entry here, so row 0
+    # receives no gradient from them — the scatter-fold fallback would
+    # give row 0 their (meaningless) gradient instead. Acceptable: the
+    # 90%-capacity warning fires well before (engine/slam.py), and the
+    # clamped-corner contribution is garbage either way.
     E = state.inv_map.shape[0]
     ecand = jnp.where(vfits[:, None] & (corner_ids >= 0), corner_ids, E)
     flat_e = ecand.reshape(-1)                                   # (8F,)

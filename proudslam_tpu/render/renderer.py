@@ -112,7 +112,7 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                 point_store=None, pointnet_params=None,
                 corner_feats: jnp.ndarray = None,
                 fresh_thresh: jnp.ndarray = None,
-                precomputed=None,
+                precomputed=None, f8_center=None,
                 ) -> RenderOutputs:
     """Render a batch of rays against the current map.
 
@@ -215,7 +215,7 @@ def render_rays(rays_o: jnp.ndarray, rays_d: jnp.ndarray,
             map_state.voxel_keys, map_state.voxel_vertex_ids, embeddings,
             settings.voxel_size,
             inv_map=getattr(map_state, "inv_map", None),
-            EV=corner_feats).reshape(R * S, -1)
+            EV=corner_feats, f8_center=f8_center).reshape(R * S, -1)
 
     from proudslam_tpu.ops.pallas.mlp_kernel import (
         decoder_values_fused, fused_applicable)

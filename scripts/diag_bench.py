@@ -59,6 +59,18 @@ def main():
     ap.add_argument("--fixed_batch", default="false",
                     help="fixed per-round ray batches (tracker+mapper)")
     ap.add_argument("--insert_stride", type=int, default=1)
+    ap.add_argument("--anchor", type=int, default=-1,
+                    help="mapper.anchor_keyframes (-1 = bench default)")
+    ap.add_argument("--wanchor", default=None,
+                    help="mapper.window_include_anchor (true/false)")
+    ap.add_argument("--rebake", type=int, default=0,
+                    help="after --refine: rebake_map(N) + 1 more refine")
+    ap.add_argument("--covis", type=float, default=-1.0,
+                    help="mapper.covis_angle_deg (-1 = bench default, "
+                         "0 = uniform window selection)")
+    ap.add_argument("--steady_cap", type=int, default=-1,
+                    help="map.frame_voxel_capacity_steady (-1 = bench "
+                         "default, 0 = full capacity every insert)")
     ap.add_argument("--trajectory", default="scan",
                     choices=["scan", "monotonic", "corridor"],
                     help="BenchDataset trajectory family (cached "
@@ -100,6 +112,9 @@ def main():
 
     base = bench_settings()
     import dataclasses
+    if args.steady_cap >= 0:
+        base = dataclasses.replace(base, map=dataclasses.replace(
+            base.map, frame_voxel_capacity_steady=args.steady_cap))
     settings = dataclasses.replace(
         base,
         render=dataclasses.replace(
@@ -121,7 +136,12 @@ def main():
             base.mapper, keyframe_gap=args.keyframe_gap,
             window_size=args.window_size, num_iterations=args.map_iters,
             fixed_sample_batch=args.fixed_batch.lower() == "true",
-            insert_stride=args.insert_stride),
+            insert_stride=args.insert_stride,
+            **({"covis_angle_deg": args.covis} if args.covis >= 0 else {}),
+            **({"anchor_keyframes": args.anchor} if args.anchor >= 0
+               else {}),
+            **({"window_include_anchor": args.wanchor.lower() == "true"}
+               if args.wanchor is not None else {})),
     )
     ds = load_or_make_dataset(trajectory=args.trajectory)
     if args.noise > 0.0:
@@ -159,7 +179,7 @@ def main():
             pending = slam.upload_frame(rgb, depth)
         slam.process_frame(i, *cur)
         if args.midrefine and i % args.midrefine == 0:
-            slam.global_refine(rounds=1)
+            slam.global_refine(rounds=1, anchored=True)
         seg_n += 1
         if i % args.segment == 0:
             jax.block_until_ready(slam.map_state.embeddings)
@@ -178,11 +198,15 @@ def main():
 
     if args.refine > 0:
         slam.global_refine(rounds=args.refine)
+    if args.rebake > 0:
+        slam.rebake_map(iterations=args.rebake)
+        slam.global_refine(rounds=1)
     est = slam.get_trajectory()
     gt = np.stack(ds.poses)[:len(est)]
     err_t = np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=-1) * 100
     stats = slam.get_track_stats()
     ate_cm = ate_rmse(est, gt, align=False) * 100
+    ate_al_cm = ate_rmse(est, gt, align=True) * 100
     rpe_cm = rpe_rmse(est, gt, delta=1) * 100
 
     os.makedirs("diag", exist_ok=True)
@@ -198,7 +222,9 @@ def main():
     out = {
         "tag": args.tag, "frames": n_frames, "fps": round(fps, 2),
         "seg_fps": seg_fps,
-        "ate_cm": round(float(ate_cm), 3), "rpe_cm": round(float(rpe_cm), 3),
+        "ate_cm": round(float(ate_cm), 3),
+        "ate_al_cm": round(float(ate_al_cm), 3),
+        "rpe_cm": round(float(rpe_cm), 3),
         "err_t_cm_p50_p90_p99": q(err_t),
         "err_t_cm_final": round(float(err_t[-1]), 3),
         "track_loss_p50_p90_p99": q(stats["track_loss"]),

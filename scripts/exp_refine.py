@@ -95,6 +95,22 @@ def main():
         print(f"sweep rounds={rounds}    : ATE {ate(slam, gt):.3f} cm "
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
 
+    for rounds in (2, 6):
+        restore(slam, snap)
+        t0 = time.perf_counter()
+        slam.global_refine(rounds=rounds, anchored=True)
+        print(f"anchored rounds={rounds} : ATE {ate(slam, gt):.3f} cm "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+
+    restore(slam, snap)
+    t0 = time.perf_counter()
+    for it in range(2):
+        slam.global_refine(rounds=2, anchored=True)
+        slam.rebake_map(iterations=200)
+    slam.global_refine(rounds=2, anchored=True)
+    print(f"anchored+rebake x2: ATE {ate(slam, gt):.3f} cm "
+          f"({time.perf_counter() - t0:.0f}s)", flush=True)
+
     # map re-bake alternation: refine poses, re-train map from scratch at
     # the refined poses, refine poses again
     restore(slam, snap)

@@ -139,3 +139,56 @@ def test_inv_map_incremental_matches_batch():
                 st, p, jnp.ones((p.shape[0],), bool), s))(
                     state, jnp.asarray(pts))
     _check_inv(state)
+
+
+def test_precompute_f8_matches_inline():
+    """gather_ray_features with the hoisted (f8, center) pair must equal
+    the inline computation (the tracker hoists it out of its scan when
+    embeddings are frozen and the batch is fixed)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from proudslam_tpu.ops.interp import (
+        corner_view, gather_ray_features, precompute_f8)
+    from proudslam_tpu.ops import voxel_hash as vh
+    from proudslam_tpu.config import MapSettings
+
+    s = MapSettings(voxel_size=0.2, num_embeddings=512, embed_dim=8,
+                    voxel_capacity=128, frame_voxel_capacity=64)
+    key = jax.random.PRNGKey(0)
+    state = vh.init_map_state(s, key)
+    pts = np.stack(np.meshgrid(np.arange(4), np.arange(4)), -1)
+    pts = np.concatenate([pts.reshape(-1, 2) * 0.2 + 0.1,
+                          np.full((16, 1), 0.3)], 1)
+    state = vh.insert_points(state, jnp.asarray(pts, jnp.float32),
+                             jnp.ones((16,), bool), s)
+
+    R, H, S = 8, 4, 10
+    rng = np.random.default_rng(1)
+    vidx = jnp.asarray(rng.integers(0, 16, (R, H)), jnp.int32)
+    bins = jnp.asarray(np.sort(rng.integers(0, H + 1, (R, S)), axis=1),
+                       jnp.int32)
+    xyz = jnp.asarray(rng.uniform(0, 0.8, (R, S, 3)), jnp.float32)
+
+    EV = corner_view(state.embeddings, state.voxel_vertex_ids,
+                     state.inv_map)
+    ref = gather_ray_features(xyz, bins, vidx, state.voxel_keys,
+                              state.voxel_vertex_ids, state.embeddings,
+                              s.voxel_size, inv_map=state.inv_map, EV=EV)
+    f8c = precompute_f8(EV, jnp.maximum(vidx, 0), bins,
+                        state.voxel_keys, s.voxel_size)
+    out = gather_ray_features(xyz, bins, vidx, state.voxel_keys,
+                              state.voxel_vertex_ids, state.embeddings,
+                              s.voxel_size, f8_center=f8c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-7)
+
+    # pose-path gradient (through xyz) must match too
+    g_ref = jax.grad(lambda x: jnp.sum(gather_ray_features(
+        x, bins, vidx, state.voxel_keys, state.voxel_vertex_ids,
+        state.embeddings, s.voxel_size, EV=EV) ** 2))(xyz)
+    g_out = jax.grad(lambda x: jnp.sum(gather_ray_features(
+        x, bins, vidx, state.voxel_keys, state.voxel_vertex_ids,
+        state.embeddings, s.voxel_size, f8_center=f8c) ** 2))(xyz)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-7)
