@@ -365,6 +365,8 @@ def settings_from_config(cfg: Config) -> SystemSettings:
         dda_step_frac=tpu.get("dda_step_frac", 0.45),
         pixel_sampler=tpu.get("pixel_sampler", "uniform"),
         feature_mode=tpu.get("feature_mode", "vox"),
+        fresh_voxel_margin=tpu.get("fresh_voxel_margin", 0),
+        fresh_window_frames=tpu.get("fresh_window_frames", 0),
     )
     map_settings = MapSettings(
         voxel_size=voxel_size,
@@ -372,6 +374,8 @@ def settings_from_config(cfg: Config) -> SystemSettings:
         embed_dim=dec.get("in_dim", 16),
         voxel_capacity=tpu.get("voxel_capacity", 20000),
         frame_voxel_capacity=tpu.get("frame_voxel_capacity", 8192),
+        frame_voxel_capacity_steady=tpu.get(
+            "frame_voxel_capacity_steady", 0),
         store_points=bool(tpu.get("store_points", False)),
         points_per_voxel=tpu.get("points_per_voxel", 8),
     )
@@ -393,6 +397,8 @@ def settings_from_config(cfg: Config) -> SystemSettings:
         depth_variance=bool(trk.get("depth_variance", True)),
         motion_model=trk.get("motion_model", "velocity"),
         final_lr_frac=trk.get("final_lr_frac", 0.1),
+        fresh_ray_floor=trk.get("fresh_ray_floor", 0.2),
+        fixed_sample_batch=bool(tpu.get("fixed_sample_batch", False)),
     )
     mapper = MapperSettings(
         n_rays_each=mpr.get("N_rays_each", 1024),
@@ -404,6 +410,12 @@ def settings_from_config(cfg: Config) -> SystemSettings:
         early_keyframe_gap=tpu.get("early_keyframe_gap", 12),
         early_keyframes=tpu.get("early_keyframes", 3),
         keyframe_rotation_deg=tpu.get("keyframe_rotation_deg", 10.0),
+        insert_stride=tpu.get("insert_stride", 1),
+        fixed_sample_batch=bool(tpu.get("fixed_sample_batch", False)),
+        anchor_keyframes=tpu.get("anchor_keyframes", 1),
+        window_include_anchor=bool(tpu.get("window_include_anchor",
+                                           False)),
+        covis_angle_deg=tpu.get("covis_angle_deg", 0.0),
     )
     loss = LossSettings(
         rgb_weight=crit.get("rgb_weight", 0.5),

@@ -34,6 +34,10 @@ def main():
         render=dataclasses.replace(base.render, max_samples=64),
         tracker=dataclasses.replace(base.tracker, fixed_sample_batch=True),
         mapper=dataclasses.replace(base.mapper, fixed_sample_batch=True))
+    if len(sys.argv) > 3 and int(sys.argv[3]):
+        # fused Pallas render path (sys.argv[3] = 1)
+        s = dataclasses.replace(s, decoder=dataclasses.replace(
+            s.decoder, use_fused_mlp=True))
 
     H, W = 240, 320
     slam = SlamSystem(s, (0.9 * W, 0.9 * W, (W - 1) / 2, (H - 1) / 2),

@@ -154,3 +154,33 @@ def test_global_refine_and_rebake(dataset):
     assert len(mesh.verts) > 200
     d = np.abs(dataset.scene.sdf(mesh.verts.astype(np.float64)))
     assert np.median(d) < 0.08, f"median surface dist {np.median(d):.3f}"
+
+
+def test_fresh_window_threshold_tracks_insert_history(dataset):
+    """The scale-free freshness threshold must equal the device voxel
+    count from fresh_window_frames inserts ago (zero until enough
+    history), and the engine must run normally with the mode enabled."""
+    import dataclasses
+    import jax.numpy as jnp
+
+    s = small_settings()
+    s = dataclasses.replace(s, render=dataclasses.replace(
+        s.render, fresh_window_frames=3))
+    slam = SlamSystem(s, dataset.intrinsics, (dataset.height, dataset.width),
+                      seed=0)
+    _, rgb, depth, _, pose0 = dataset[0]
+    slam.initialize(rgb, depth, pose0, stamp=0)
+    counts = [int(slam.map_state.num_voxels)]
+    assert int(slam._fresh_thresh()) == 0       # not enough history yet
+    for i in range(1, 6):
+        _, rgb, depth, _, _ = dataset[i]
+        slam.process_frame(i, rgb, depth)
+        counts.append(int(slam.map_state.num_voxels))
+        thresh = int(slam._fresh_thresh())
+        if len(slam._nv_hist) > 3:
+            # deque holds the last 4 insert counts; [0] is 3 inserts ago
+            assert thresh == counts[-4], (i, thresh, counts)
+        else:
+            assert thresh == 0
+    est = slam.get_trajectory()
+    assert np.isfinite(est).all()
