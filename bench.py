@@ -131,10 +131,15 @@ def bench_settings():
         # (window size and BA iterations unchanged); best mean ATE over a
         # 3-seed config sweep (BENCH_NOTES r4; the gap-50 row is reported
         # there for apples-to-apples comparison)
+        # insert_stride 2: consecutive 1-cm-apart frames allocate nearly
+        # identical voxel sets; halving the cadence costs nothing the
+        # fresh-ray weighting doesn't already absorb (3-seed ATE mean
+        # 2.95 vs 3.75 cm at stride 1 — BENCH_NOTES r5) and saves
+        # ~5 ms/frame
         mapper=MapperSettings(n_rays_each=1024, window_size=4,
                               num_iterations=10, keyframe_gap=12,
                               max_keyframes=64, init_iterations=200,
-                              fixed_sample_batch=True),
+                              fixed_sample_batch=True, insert_stride=2),
         loss=LossSettings(),
     )
 
