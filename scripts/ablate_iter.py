@@ -79,7 +79,7 @@ def main():
         return lambda: f(jnp.zeros((3,)), state.embeddings, params)
 
     variants = {
-        "base (H16 S96 dda fused)": base,
+        "base (bench config)": base,
         "fwd only": None,
         "grads emb+dec too": None,
         "S=64": dataclasses.replace(base, render=dataclasses.replace(
